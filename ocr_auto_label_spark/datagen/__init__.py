@@ -1,0 +1,4 @@
+from ocr_auto_label_spark.datagen.transcripts import (  # noqa: F401
+    generate_transcripts,
+    transcripts_parquet,
+)

@@ -1,0 +1,70 @@
+"""Boilerplate/markup strip → normalized "main content" per turn.
+
+The reference's only markup handling is the LLM-response fence strip
+(gemini.ts:223-231: remove ```` ```json ```` wrappers before JSON.parse)
+and notebook ``_parse_json_text`` (grouped_img_desc.ipynb cell 6).  Our
+transcript turns carry HTML-ish tags, markdown fences and navigation
+chrome (FIXTURES.md §1), so the normalizer generalizes that step.
+
+Byte-equality discipline: the transformation is an **ordered list of
+(compiled regex, replacement)** applied sequentially.  The pure-Python
+oracle runs ``re.sub`` over it; the pandas UDF runs ``Series.str.replace``
+over the *same* compiled patterns (pandas delegates to the same ``re``
+engine), so both paths are byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Full-payload markdown fence unwrap — mirrors gemini.ts:227-231 (strip
+# ```json ... ``` / ``` ... ``` wrappers, keep inner payload).
+_FENCE_UNWRAP = re.compile(r"\A\s*```[A-Za-z0-9_-]*\n(.*?)\n?```\s*\Z", re.DOTALL)
+
+_NAV_WORDS = (
+    r"Home|About(?:\s+Us)?|Contact(?:\s+Us)?|Menu|Next|Previous|Login|Log\s+in|"
+    r"Register|Sign\s+(?:in|up)|Share|Subscribe|Search|Privacy\s+Policy|"
+    r"Terms\s+of\s+Service|Skip\s+to\s+content|Cookie\s+Policy|Accept\s+(?:all\s+)?Cookies|"
+    r"Back\s+to\s+top|Read\s+more|Follow\s+us"
+)
+
+# Ordered pipeline: (compiled pattern, replacement).  Order matters and is
+# part of the contract.
+NORMALIZE_STEPS: tuple[tuple[re.Pattern, str], ...] = (
+    # 1. canonical newlines
+    (re.compile(r"\r\n?"), "\n"),
+    # 2. unwrap a whole-payload code fence (keep body)
+    (_FENCE_UNWRAP, r"\1"),
+    # 3. drop remaining fence marker lines (``` or ```lang)
+    (re.compile(r"^[ \t]*```[A-Za-z0-9_-]*[ \t]*$", re.MULTILINE), ""),
+    # 4. strip HTML-ish tags (incl. closing / self-closing), bounded length
+    (re.compile(r"</?[A-Za-z][^<>]{0,127}>"), ""),
+    # 5. decode the common entities
+    (re.compile(r"&nbsp;"), " "),
+    (re.compile(r"&lt;"), "<"),
+    (re.compile(r"&gt;"), ">"),
+    (re.compile(r"&quot;"), '"'),
+    (re.compile(r"&#39;"), "'"),
+    (re.compile(r"&amp;"), "&"),
+    # 6. drop navigation-chrome lines (menus / link bars)
+    (re.compile(
+        rf"^[ \t]*(?:[|•·>*_-]+[ \t]*)?(?:(?:{_NAV_WORDS})[ \t]*(?:[|•·>*_-]+[ \t]*)?)+$",
+        re.MULTILINE | re.IGNORECASE), ""),
+    # 7. per-line trailing whitespace
+    (re.compile(r"[ \t]+$", re.MULTILINE), ""),
+    # 8. collapse runs of spaces/tabs
+    (re.compile(r"[ \t]{2,}"), " "),
+    # 9. collapse 3+ newlines to a blank line
+    (re.compile(r"\n{3,}"), "\n\n"),
+    # 10. strip outer blank space
+    (re.compile(r"\A\s+|\s+\Z"), ""),
+)
+
+
+def normalize_text(text: str | None) -> str | None:
+    """Pure-Python oracle path; the pandas UDF applies the same steps."""
+    if text is None:
+        return None
+    for pattern, repl in NORMALIZE_STEPS:
+        text = pattern.sub(repl, text)
+    return text

@@ -1,0 +1,79 @@
+"""Fuzzy match against the canonical sample-ID list.
+
+The reference resolves near-miss codes generatively via OCR prompt rules
+(gemini.ts:164-187); we re-express that as a deterministic approximate
+join: blocking on (country prefix, segment count) — the broadcast-join
+blocking key of SURVEY.md J6 — then Levenshtein distance with a trigram
+(3-gram) Jaccard similarity score.  Pure Python here; the Spark plan uses
+the same blocking key with ``F.levenshtein`` on the broadcast dim table.
+"""
+
+from __future__ import annotations
+
+from ocr_auto_label_spark.labelcore.canonical import canonical_blocks, canonical_label_set
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Classic DP edit distance with optional early-exit cap."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if cur[j] < row_min:
+                row_min = cur[j]
+        if cap is not None and row_min > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def trigrams(s: str) -> set[str]:
+    padded = f"##{s}##"
+    return {padded[i:i + 3] for i in range(len(padded) - 2)}
+
+
+def trigram_similarity(a: str, b: str) -> float:
+    ta, tb = trigrams(a), trigrams(b)
+    if not ta or not tb:
+        return 0.0
+    inter = len(ta & tb)
+    return inter / (len(ta) + len(tb) - inter)
+
+
+def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, float]:
+    """(matched canonical label, similarity in [0,1]).
+
+    Exact member → (label, 1.0).  Otherwise nearest canonical within
+    ``max_distance`` edits inside the blocking bucket, scored by trigram
+    Jaccard; ties broken by (distance asc, trigram sim desc, label asc)
+    for full determinism.  No match → (None, 0.0).
+    """
+    if label in canonical_label_set():
+        return label, 1.0
+    segs = label.split(".")
+    bucket = canonical_blocks().get((segs[0], len(segs)), ())
+    best: tuple[int, float, str] | None = None
+    for canon in bucket:
+        d = levenshtein(label, canon, cap=max_distance)
+        if d > max_distance:
+            continue
+        sim = trigram_similarity(label, canon)
+        key = (d, -sim, canon)
+        if best is None or key < (best[0], -best[1], best[2]):
+            best = (d, sim, canon)
+    if best is None:
+        return None, 0.0
+    return best[2], round(best[1], 6)

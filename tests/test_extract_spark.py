@@ -1,0 +1,108 @@
+"""Dual-run oracle: Spark pipeline output must byte-equal the pure-Python
+labelcore on the same fixture, under stable turn ordering (W2).
+
+This is the north_rule correctness gate: per-turn text equality + span
+equality between the Arrow/Spark path and the reference implementation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocr_auto_label_spark.datagen import generate_transcripts
+from ocr_auto_label_spark.labelcore.extract import extract_turn
+from ocr_auto_label_spark.plans.extraction_pipeline import (
+    extract_candidates_flat,
+    extract_turns,
+    salted_repartition,
+)
+
+N_TURNS = 1000
+
+
+def _python_golden(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-Python reference run → flat (turn, candidate) golden frame."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        text = None if pd.isna(r.text) else r.text
+        tool = None if pd.isna(r.tool) else r.tool
+        extracted, cands = extract_turn(text, tool)
+        if not cands:
+            rows.append((r.conv_id, r.turn_idx, extracted, None, None, None,
+                         None, None, None, None, None, None, None))
+        for c in cands:
+            rows.append((r.conv_id, r.turn_idx, extracted, c.label, c.raw,
+                         c.begin, c.end, c.source_col, c.pattern_id,
+                         c.corrections, c.canonical, c.confidence, c.rank))
+    out = pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
+        "end", "source_col", "pattern_id", "corrections", "canonical",
+        "confidence", "rank",
+    ])
+    return out.sort_values(["conv_id", "turn_idx", "rank"], na_position="last").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return generate_transcripts(N_TURNS, seed=42)
+
+
+def _spark_flat(spark, pdf, repartitioned=False):
+    from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
+
+    sdf = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None), TRANSCRIPT_SCHEMA)
+    if repartitioned:
+        sdf = salted_repartition(sdf, 16)
+    flat = extract_candidates_flat(sdf)
+    got = (
+        flat.select("conv_id", "turn_idx", "extracted_text", "label", "raw",
+                    "begin", "end", "source_col", "pattern_id", "corrections",
+                    "canonical", "confidence", "rank")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "rank"], na_position="last")
+        .reset_index(drop=True)
+    )
+    return got
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert len(got) == len(want)
+    for col in want.columns:
+        g = got[col].astype(object).where(pd.notna(got[col]), None)
+        w = want[col].astype(object).where(pd.notna(want[col]), None)
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
+        assert not mism, f"column {col}: first mismatches {mism[:5]}"
+
+
+def test_spark_byte_equals_python_oracle(spark, fixture_pdf):
+    want = _python_golden(fixture_pdf)
+    got = _spark_flat(spark, fixture_pdf)
+    _assert_frames_equal(got, want)
+
+
+def test_salted_repartition_same_result(spark, fixture_pdf):
+    """Result is invariant to the physical partitioning (determinism under
+    parallelism — the two-cluster-size equivalence in miniature)."""
+    want = _python_golden(fixture_pdf)
+    got = _spark_flat(spark, fixture_pdf, repartitioned=True)
+    _assert_frames_equal(got, want)
+
+
+def test_plan_has_no_per_row_python_udf(spark, fixture_pdf):
+    """north_star: zero per-row Python UDFs — ArrowEvalPython only."""
+    from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
+
+    sdf = spark.createDataFrame(fixture_pdf.head(5).astype(object), TRANSCRIPT_SCHEMA)
+    plan = extract_candidates_flat(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_extract_turns_shape(spark, fixture_pdf):
+    from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
+
+    sdf = spark.createDataFrame(fixture_pdf.head(50).astype(object), TRANSCRIPT_SCHEMA)
+    out = extract_turns(sdf)
+    assert out.count() == 50  # one row per turn, narrow projection
+    assert {"extracted_text", "candidates"} <= set(out.columns)

@@ -1,0 +1,84 @@
+"""Lineage/checkpoint: per-bucket records + resume-from-partition (north_rule)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_auto_label_spark.datagen import transcripts_parquet
+from ocr_auto_label_spark.lineage import (
+    completed_buckets,
+    run_extraction_with_checkpoint,
+    with_part_bucket,
+)
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "input": transcripts_parquet(800, seed=7),
+        "output": str(tmp_path / "out"),
+        "lineage": str(tmp_path / "lineage"),
+    }
+
+
+def test_full_run_writes_lineage_and_output(spark, paths):
+    summary = run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"], paths["lineage"],
+        run_id="r1", n_buckets=8, wave_size=8,
+    )
+    assert summary["buckets_processed"] == 8
+    out = spark.read.parquet(paths["output"])
+    assert out.count() == 800
+    lin = spark.read.parquet(paths["lineage"]).filter(F.col("run_id") == "r1")
+    rows = {r.part_bucket: r for r in lin.collect()}
+    assert sum(r.row_count for r in rows.values()) == 800
+    for r in rows.values():
+        assert r.status == "complete"
+        assert 0.0 <= r.hit_rate <= 1.0
+        assert r.checksum is not None
+
+
+def test_resume_skips_completed_buckets(spark, paths):
+    # first run covers only some buckets (simulate a crash after wave 1)
+    run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"], paths["lineage"],
+        run_id="r2", n_buckets=8, wave_size=3,
+    )
+    done_before = completed_buckets(spark, paths["lineage"], "r2")
+    assert done_before == set(range(8))
+    # resume: nothing left to do
+    summary = run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"], paths["lineage"],
+        run_id="r2", n_buckets=8, wave_size=3,
+    )
+    assert summary["buckets_resumed"] == 8
+    assert summary["buckets_processed"] == 0
+
+
+def test_checksums_invariant_to_parallelism(spark, paths):
+    """Same input → same per-bucket checksum at different shuffle/parallelism
+    (the scaling-equivalence invariant, in miniature)."""
+    run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"] + "_a", paths["lineage"] + "_a",
+        run_id="p1", n_buckets=4, wave_size=4,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        run_extraction_with_checkpoint(
+            spark, paths["input"], paths["output"] + "_b", paths["lineage"] + "_b",
+            run_id="p2", n_buckets=4, wave_size=1,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    a = {r.part_bucket: r.checksum for r in spark.read.parquet(paths["lineage"] + "_a").collect()}
+    b = {r.part_bucket: r.checksum for r in spark.read.parquet(paths["lineage"] + "_b").collect()}
+    assert a == b
+
+
+def test_part_bucket_deterministic(spark, paths):
+    df = with_part_bucket(spark.read.parquet(paths["input"]), 8)
+    counts = {r.part_bucket: r["count"] for r in df.groupBy("part_bucket").count().collect()}
+    counts2 = {r.part_bucket: r["count"] for r in df.groupBy("part_bucket").count().collect()}
+    assert counts == counts2
+    assert set(counts) <= set(range(8))

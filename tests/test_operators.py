@@ -1,0 +1,184 @@
+"""Operator tests: dedup family, similarity search, text stats, range join,
+naming windows — each validated against an independent Python/pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_auto_label_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from ocr_auto_label_spark.operators.naming import (
+    find_duplicate_names,
+    notebook_ordinal_names,
+    resolve_duplicate_names,
+    webapp_ordinal_names,
+)
+from ocr_auto_label_spark.operators.range_join import time_range_self_join
+from ocr_auto_label_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from ocr_auto_label_spark.operators.textstats import add_text_stats, doc_fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en"),     # near dup of 0
+        (3, "el rapido zorro marron salta sobre el perro y que", "es"),
+        (4, "completely different content about spark engines", "en"),
+        (5, "der hund ist und die katze das haus", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).filter(F.col("dup_count") > 1).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 0 and out[0].dup_count == 2
+
+
+def test_jaccard_pairs_vs_python(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, ["lang"], threshold=0.3).collect()}
+
+    def shingles(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    rows = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    want = {}
+    for a in rows:
+        for b in rows:
+            if a < b and rows[a][1] == rows[b][1]:
+                sa, sb = shingles(rows[a][0]), shingles(rows[b][0])
+                j = round(len(sa & sb) / len(sa | sb), 6)
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (0, 1) in out          # exact dup always collides
+    assert (0, 2) in out or (1, 2) in out  # near dup should collide in ≥1 band
+    assert all(a < b for a, b in out)
+
+
+def test_simhash_exact_dups_collide(spark, docs):
+    out = simhash_dedup(docs).collect()
+    assert any(r.dup_count >= 2 for r in out)
+
+
+def test_textstats_fields(spark, docs):
+    out = add_text_stats(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert out.token_cnt == 9
+    assert out.char_cnt == len("the quick brown fox jumps over the lazy dog")
+    assert out.punct_ratio == 0.0
+    assert 0.0 <= out.quality <= 1.0
+    assert out.lang_guess == "en"
+    langs = {r.doc_id: r.lang_guess for r in add_text_stats(docs).collect()}
+    assert langs[3] == "es" and langs[5] == "de"
+
+
+def test_doc_fingerprint_deterministic(spark, docs):
+    a = {r.doc_id: r.fp for r in docs.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in docs.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert a == b
+    assert a[0] == a[1] and a[0] != a[4]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    base[1] = base[0] + rng.normal(scale=0.01, size=8)  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]], int(i % 2)) for i in range(6)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int")
+
+
+def test_brute_force_topk_vs_numpy(spark, vectors):
+    pdf = vectors.toPandas()
+    q = list(pdf.embedding[0])
+    got = [(r.vec_id, r.cosine) for r in brute_force_topk(vectors, q, k=3).collect()]
+    M = np.stack(pdf.embedding.to_numpy())
+    qv = np.array(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(6), key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [g[0] for g in got] == order
+    for vid, c in got:
+        assert abs(c - cos[vid]) < 1e-5
+    assert got[0][0] == 0 and got[1][0] == 1  # self first, near-dup second
+
+
+def test_lsh_topk_contains_self(spark, vectors):
+    pdf = vectors.toPandas()
+    q = list(pdf.embedding[0])
+    got = [r.vec_id for r in lsh_bucketed_topk(vectors, q, k=3, bits=2).collect()]
+    assert 0 in got  # the query's own bucket always contains it
+
+
+def test_cosine_neardup_pairs(spark, vectors):
+    out = {(r.id_a, r.id_b): r.cosine for r in
+           cosine_neardup_pairs(vectors, block_cols=["label"], threshold=0.95).collect()}
+    assert (0, 1) not in out or out[(0, 1)] >= 0.95  # 0,1 share label? labels 0,1 differ
+    # 0 and 1 have labels 0 and 1 → blocked apart; force no-block check
+    out2 = {(r.id_a, r.id_b) for r in
+            cosine_neardup_pairs(vectors.withColumn("one", F.lit(1)),
+                                 block_cols=["one"], threshold=0.99).collect()}
+    assert (0, 1) in out2
+
+
+def test_time_range_self_join_vs_python(spark):
+    rows = [(i, (pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=s)).to_pydatetime(), 1)
+            for i, s in enumerate([0, 30, 100, 121, 500, 530, 1000])]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: int")
+    got = {(r.a_id, r.b_id) for r in
+           time_range_self_join(df, key_cols=["user_id"], window_seconds=120).collect()}
+    secs = {i: s for i, s in enumerate([0, 30, 100, 121, 500, 530, 1000])}
+    want = {(a, b) for a in secs for b in secs if a != b and abs(secs[a] - secs[b]) <= 120}
+    assert got == want
+
+
+def test_webapp_ordinal_names(spark):
+    rows = [("a", "g one", 1, "x.jpg"), ("b", "g one", 2, "y.MP.JPG"), ("c", "g one", 3, "z.png"),
+            ("d", "other", 1, "w.jpg")]
+    df = spark.createDataFrame(rows, "id: string, group: string, created_at: long, original_name: string")
+    out = {r.id: r.new_name for r in
+           webapp_ordinal_names(df, order_cols=["created_at", "id"]).collect()}
+    # sanitize: 'g one' → 'g_one'; first bare, then _2/_3; last-dot ext
+    assert out == {"a": "g_one.jpg", "b": "g_one_2.JPG", "c": "g_one_3.png", "d": "other.jpg"}
+
+
+def test_notebook_ordinal_names(spark):
+    rows = [("a", "G1", 1, "x.jpg"), ("b", "G1", 2, "y.MP.JPG"), ("c", "G2", 1, "noext")]
+    df = spark.createDataFrame(rows, "id: string, group: string, __row_order: long, original_name: string")
+    out = {r.id: r.new_name for r in notebook_ordinal_names(df).collect()}
+    # every member numbered from _1; FIRST-dot extension; default jpg
+    assert out == {"a": "G1_1.jpg", "b": "G1_2.MP.JPG", "c": "G2_1.jpg"}
+
+
+def test_duplicate_name_resolution(spark):
+    rows = [("a", "G.jpg", 1, "G", "a.jpg"), ("b", "G.jpg", 2, "G", "b.jpg"),
+            ("c", "H.jpg", 3, "H", "c.jpg")]
+    df = spark.createDataFrame(
+        rows, "id: string, new_name: string, created_at: long, group: string, original_name: string")
+    dups = find_duplicate_names(df).collect()
+    assert len(dups) == 1 and dups[0].dup_count == 2
+    resolved = {r.id: r.new_name for r in resolve_duplicate_names(df).collect()}
+    assert resolved["a"] == "G.jpg"      # earliest keeps the name
+    assert resolved["b"] == "G_2.jpg"    # regenerated via webapp rule
+    assert resolved["c"] == "H.jpg"
+    # idempotent: no duplicates remain
+    df2 = spark.createDataFrame([(k, v, i, "G", "x.jpg") for i, (k, v) in enumerate(resolved.items())],
+                                "id: string, new_name: string, created_at: long, group: string, original_name: string")
+    assert find_duplicate_names(df2).count() == 0
