@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction over the sf0.001 tables +
+a deterministic synthetic transcript batch; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2
+(registry in ``ocr_auto_label_spark/entry_queries.py``).
 """
 
 from __future__ import annotations
@@ -15,24 +14,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: label extraction (grammar + confusion correction + fuzzy
+    canonical match + confidence ranking) over transcript turns.
+
+    Input = the sf0.001 ``documents`` table mapped to the transcript shape
+    (one turn per document) unioned with a deterministic synthetic
+    transcript batch carrying embedded/corrupted labels, so the result
+    exercises both driver data and the full extraction surface.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        extract_candidates_flat,
+        ordered_output,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_turns = docs.select(
+        F.concat(F.lit("doc-"), F.col("source")).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    synth = spark.read.parquet(transcripts_parquet(2_000))
+    turns = doc_turns.unionByName(synth)
+    return ordered_output(extract_candidates_flat(turns))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_auto_label_spark.entry_queries import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_auto_label_spark.entry_queries import build_oracle_sql
+
+    return build_oracle_sql()

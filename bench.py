@@ -1,0 +1,161 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: flagship extraction throughput (turns/sec) over the synthetic
+transcript table at the target scale, plus per-query wall times for a
+representative slice of the operator registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Usage:
+    python bench.py                  # standard bench (driver contract)
+    python bench.py --scaling        # also run local[8] vs local[32]
+                                     # same-input scaling measurement
+
+Every query is materialized through the noop sink so Catalyst can't
+short-circuit column computation under count().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "extract_flagship",
+    "extract_best_labels",
+    "j5_broadcast_join_agg",
+    "j1_time_range_self_join",
+    "w1_ordinal_naming",
+    "w5_sliding_frame_avg",
+    "a6_ordered_distinct_union",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "embed_neardup_pairs",
+    "text_quality_stats",
+    "text_language_id",
+    "x2_grammar_validate",
+    "auto_group_transitive",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_label(sf_dir: str) -> float:
+    for tok in ("0.001", "0.01", "0.1"):
+        if tok in sf_dir:
+            return float(tok)
+    return -1.0
+
+
+def run_suite(master: str, shuffle_partitions: int) -> dict:
+    from ocr_auto_label_spark.session import build_spark
+    from ocr_auto_label_spark.entry_queries import build_queries, _sf_turns
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+
+    transcripts_parquet(_sf_turns(SF_DIR))  # pre-generate outside timing
+    spark = build_spark(app_name=f"bench-{master}", master=master,
+                        shuffle_partitions=shuffle_partitions)
+    queries = build_queries()
+    timings: dict[str, float] = {}
+    n_turns = _sf_turns(SF_DIR)
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, SF_DIR)
+        if name == "extract_flagship":
+            _materialize(df)  # warm the headline: codegen + python workers
+        t0 = time.time()
+        _materialize(df)
+        timings[name] = round(time.time() - t0, 3)
+    extraction_sec = timings["extract_flagship"]
+    result = {
+        "master": master,
+        "queries": timings,
+        "extraction_sec": extraction_sec,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / extraction_sec, 1),
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    spark.stop()
+    return result
+
+
+def scaling_run(master: str, shuffle_partitions: int, n_turns: int) -> float:
+    """Warmed extraction-only throughput (turns/sec) at one parallelism.
+
+    The two-cluster-size efficiency criterion needs the CPU-bound stage
+    isolated from fixed costs (JVM/codegen/python-worker startup), so:
+    warm once, then take the best of two timed runs on a large input."""
+    from ocr_auto_label_spark.session import build_spark
+    from ocr_auto_label_spark.entry_queries import build_queries
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    import ocr_auto_label_spark.entry_queries as eq
+
+    transcripts_parquet(n_turns)
+    spark = build_spark(app_name=f"scale-{master}", master=master,
+                        shuffle_partitions=shuffle_partitions)
+    original = eq._sf_turns
+    eq._sf_turns = lambda _: n_turns  # point the flagship at the big input
+    try:
+        df = build_queries()["extract_flagship"](spark, SF_DIR)
+        _materialize(df)  # warmup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(df)
+            best = min(best, time.time() - t0)
+    finally:
+        eq._sf_turns = original
+        spark.stop()
+    return round(n_turns / best, 1)
+
+
+def main() -> None:
+    if not os.path.isdir(SF_DIR):
+        sys.exit(f"error: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true",
+                   help="additionally measure local[8] vs local[32] scaling")
+    args = p.parse_args()
+
+    main_run = run_suite(f"local[{CPUS}]", max(CPUS, 32))
+    out = {
+        "metric": "bench_suite_total",
+        "value": main_run["total_sec"],
+        "unit": "sec",
+        "queries": main_run["queries"],
+        "sf": _sf_label(SF_DIR),
+        "turns_per_sec": main_run["turns_per_sec"],
+        "extraction_turns": main_run["turns"],
+        "cpus": CPUS,
+    }
+    if args.scaling:
+        n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "400000"))
+        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16")
+        n_lo, n_hi = (int(x) for x in pair.split(","))
+        lo = scaling_run(f"local[{n_lo}]", n_lo, n_turns)
+        hi = scaling_run(f"local[{n_hi}]", n_hi, n_turns)
+        speedup = hi / lo
+        out["scaling"] = {
+            "turns": n_turns,
+            "cores_lo": n_lo,
+            "cores_hi": n_hi,
+            f"local{n_lo}_turns_per_sec": lo,
+            f"local{n_hi}_turns_per_sec": hi,
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (n_hi / n_lo), 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,6 +169,7 @@ def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spar
     os.makedirs(base_dir, exist_ok=True)
     pdf = generate_transcripts(n_turns, seed)
     tmp = path + ".tmp"
-    pdf.to_parquet(tmp, index=False)
+    # small row groups keep the single file splittable into many scan tasks
+    pdf.to_parquet(tmp, index=False, row_group_size=8192)
     os.replace(tmp, path)
     return path

@@ -1,0 +1,524 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (Spark query, DuckDB oracle SQL) pair.
+
+Most queries are written in the dialect-neutral SQL subset shared by
+Spark SQL and DuckDB, so the *same string* is both the query and the
+oracle.  Where dialects diverge (list vs array functions, strftime,
+regexp flags) the two strings differ but compute the same result.
+Operators whose semantics aren't SQL-expressible (Arrow-UDF extraction,
+xxhash64-based MinHash/SimHash/LSH, the sequential-transitive grouping
+fold) are registered without an oracle → the driver records a rows-only
+check, per the contract.
+
+Column-naming rule: every computed column is aliased identically on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_auto_label_spark.functions.grammar_sql import (
+    is_valid_sql,
+    pattern_id_column,
+    pattern_id_sql,
+)
+from ocr_auto_label_spark.labelcore.canonical import canonical_labels
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# ---------------------------------------------------------------- dialects
+
+def _spark_tokens(col: str) -> str:
+    return f"split(lower(trim({col})), '\\\\s+')"
+
+
+def _duck_tokens(col: str) -> str:
+    return f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+
+
+def _lang_id_sql(dialect: str, col: str = "text") -> str:
+    """language_id (operators/textstats.py) unrolled to SQL: strict > while
+    visiting languages in ascending order ⇒ ties → smallest language."""
+    from ocr_auto_label_spark.operators.textstats import LANG_STOPWORDS
+
+    tokens = _spark_tokens(col) if dialect == "spark" else _duck_tokens(col)
+    contains = "array_contains" if dialect == "spark" else "list_contains"
+    guess, best = "'und'", "0"
+    for lang in sorted(LANG_STOPWORDS):
+        score = " + ".join(
+            f"(CASE WHEN {contains}({tokens}, '{w}') THEN 1 ELSE 0 END)"
+            for w in LANG_STOPWORDS[lang]
+        )
+        guess = f"(CASE WHEN ({score}) > {best} THEN '{lang}' ELSE {guess} END)"
+        best = f"greatest({best}, ({score}))"
+    return guess
+
+
+def _textstats_sql(dialect: str) -> str:
+    tokens = _spark_tokens("text") if dialect == "spark" else _duck_tokens("text")
+    tlen = "size" if dialect == "spark" else "len"
+    flags = "" if dialect == "spark" else ", 'g'"
+    tc = f"{tlen}({tokens})"
+    pr = f"(length(text) - length(regexp_replace(text, '[^\\\\s\\\\w]', ''))) * 1.0 / greatest(length(text), 1)" \
+        if dialect == "spark" else \
+        f"(length(text) - length(regexp_replace(text, '[^\\s\\w]', ''{flags}))) * 1.0 / greatest(length(text), 1)"
+    length_band = "(CASE WHEN length(text) < 20 THEN 0.0 WHEN length(text) > 8000 THEN 0.3 ELSE 1.0 END)"
+    mean_word = f"length(text) * 1.0 / greatest({tc}, 1)"
+    word_band = f"(CASE WHEN {mean_word} >= 3 AND {mean_word} <= 12 THEN 1.0 ELSE 0.4 END)"
+    quality = f"0.4 * {length_band} + 0.3 * (1 - {pr}) + 0.3 * {word_band}"
+    # CAST to DOUBLE: Spark parses 0.4-style literals as DECIMAL, DuckDB as
+    # DOUBLE — cast both so types and hashes line up
+    return (
+        "SELECT lang, "
+        f"CAST(round(avg({tc}), 4) AS DOUBLE) AS avg_tokens, "
+        f"CAST(round(avg({pr}), 4) AS DOUBLE) AS avg_punct, "
+        f"CAST(round(avg({quality}), 4) AS DOUBLE) AS avg_quality, "
+        "count(*) AS cnt "
+        "FROM documents GROUP BY lang"
+    )
+
+
+# ------------------------------------------------------- grammar fixture
+
+def _grammar_codes() -> list[str]:
+    codes = [label for label, _ in canonical_labels()[::29]]
+    codes += [
+        "MWI.0.1.4.10B.15.7", " ago.1.0 ", "mwi.1.2.15.7b.12.8",
+        "NBO-12345-1-C", "NBO.12345.1.C", "BUS.54321.9.G",
+        "MWI.1.1.18.10.7.11", "MWI.9.9.99.99.99.99", "KEN.0.3.3.5.8.11",
+        "MWI.1.2.15.7E.12.8", "AGO..0", "A.1.0", "KEN.0.2.3.5X.8.11",
+        "MWI.1.2.15.11B.12.8", "not a code", "MWI.1.2",
+    ]
+    return codes
+
+
+def _grammar_validate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(c,) for c in _grammar_codes()], "code: string")
+    pid = pattern_id_column(F.col("code"))
+    return df.select(
+        "code",
+        pid.alias("pattern_id"),
+        pid.isNotNull().cast("int").alias("is_valid"),
+    )
+
+
+def _grammar_validate_duck() -> str:
+    vals = ", ".join("('{}')".format(c.replace("'", "''")) for c in _grammar_codes())
+    return (
+        f"SELECT code, {pattern_id_sql('code')} AS pattern_id, "
+        f"CAST({is_valid_sql('code')} AS INT) AS is_valid "
+        f"FROM (VALUES {vals}) AS t(code)"
+    )
+
+
+# ------------------------------------------------------ operator-backed
+
+def _sf_turns(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 2_000
+    if "0.01" in sf_dir:
+        return 20_000
+    return 100_000
+
+
+def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+
+    return spark.read.parquet(transcripts_parquet(_sf_turns(sf_dir)))
+
+
+def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        extract_candidates_flat,
+        salted_repartition,
+    )
+
+    # salted repartition feeds every core: the local synthetic input is one
+    # small file (1 split), and extraction is the CPU-bound stage — on a
+    # cluster the same call spreads hot conversations (north_star)
+    turns = salted_repartition(
+        _synthetic_transcripts(spark, sf_dir),
+        spark.sparkContext.defaultParallelism * 2,
+    )
+    flat = extract_candidates_flat(turns)
+    return flat.select(
+        "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
+        "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
+    )
+
+
+def _extract_best_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        best_labels,
+        salted_repartition,
+    )
+
+    turns = salted_repartition(
+        _synthetic_transcripts(spark, sf_dir),
+        spark.sparkContext.defaultParallelism * 2,
+    )
+    return best_labels(turns).select(
+        "conv_id", "turn_idx", "extracted_text", "label", "confidence"
+    )
+
+
+def _extract_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.lineage import with_part_bucket
+    from ocr_auto_label_spark.plans.extraction_pipeline import extract_turns
+
+    df = with_part_bucket(_synthetic_transcripts(spark, sf_dir), 16)
+    out = extract_turns(df)
+    return out.groupBy("part_bucket").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum((F.size("candidates") > 0).cast("long")).alias("turns_with_label"),
+        F.round(F.avg((F.size("candidates") > 0).cast("double")), 6).alias("hit_rate"),
+    )
+
+
+def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.range_join import time_range_self_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = time_range_self_join(events, key_cols=["user_id"], window_seconds=120)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("pair_cnt"))
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, ["lang", "n_chars"], threshold=0.3)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 0.7: the synthetic corpus shares one small vocabulary, so baseline
+    # pairwise Jaccard sits ≈0.35 — a lower threshold would make *every*
+    # pair a near-dup and the query degenerate to O(n²) exact verification
+    return minhash_lsh_dedup(docs, threshold=0.7)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.textstats import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    return [float(v) for v in row[0].embedding]
+
+
+def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, round_digits=4)
+
+
+def _embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10, bits=4)
+
+
+def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3)
+
+
+def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"SELECT lang, {_lang_id_sql('spark')} AS lang_guess, count(*) AS cnt "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive auto-grouping exercised on an events-derived frame:
+    'purchase' rows are labeled sources, 'click' rows get grouped."""
+    from ocr_auto_label_spark.operators.grouping import auto_group
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frame = events.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id"),
+        (F.col("ts").cast("timestamp").cast("long") * 1000).alias("ts_ms"),
+        F.when(F.col("event_type") == "purchase",
+               F.concat(F.lit("g"), F.col("user_id"))).alias("group"),
+        F.when(F.col("event_type") == "purchase", F.lit("extracted"))
+        .otherwise(F.lit("pending_grouping")).alias("status"),
+        F.col("event_type").alias("desc"),
+        F.array(F.col("event_type")).alias("colors"),
+        F.lit(None).cast("double").alias("grouping_confidence"),
+    ).filter(F.col("desc").isin("purchase", "click"))
+    # cluster per user (the conv_id analog) — parallel, no global window
+    return auto_group(frame, key_cols=["user_id"])
+
+
+def _infer_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ±9-row inference (J2/W4/W5) on a documents-derived frame:
+    even doc_ids are labeled sources; odd ones inherit via desc+color match."""
+    from ocr_auto_label_spark.operators.inference import infer_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    palette = F.array(F.lit("#FF0000"), F.lit("#0000FF"), F.lit("#00FF00"), F.lit("#111111"))
+    frame = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                 F.lit(".jpg")).alias("original_name"),
+        (F.col("doc_id") * 1000).alias("ts_ms"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("g"), F.col("source"))).alias("group"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4)).alias("desc"),
+        F.array(F.element_at(palette, (F.col("doc_id") % 4 + 1).cast("int"))).alias("colors"),
+    )
+    return infer_groups(frame).select(
+        "id", "group", "inferred_group", "grouping_confidence"
+    )
+
+
+# ------------------------------------------------------------ the registry
+
+_DUCK_J1 = """
+SELECT a.user_id AS user_id, count(*) AS pair_cnt
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+ AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 120
+WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
+GROUP BY a.user_id
+"""
+
+_DUCK_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substring(text, i, 3))) AS sh
+  FROM documents)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id) p
+WHERE jaccard >= 0.3
+"""
+
+# CAST(... AS DOUBLE[]) forces DuckDB to accumulate in double like Spark
+_DUCK_TOPK = """
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+_DUCK_NEARDUP = """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) p
+WHERE cosine >= 0.3
+"""
+
+# name → (spark callable or shared SQL, duckdb oracle SQL or None)
+REGISTRY: dict[str, tuple[object, str | None]] = {
+    # --- filters / projections (F1-F8) ---
+    "f1_status_filter_agg": (
+        "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type",
+        "same",
+    ),
+    "f5_search_predicate": (
+        "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
+        "same",
+    ),
+    "f8_null_coercion": (
+        "SELECT nullif(lang, 'zh') AS lang_opt, count(*) AS cnt "
+        "FROM documents GROUP BY nullif(lang, 'zh')",
+        "same",
+    ),
+    "f3_projection_pushdown": (
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150.0",
+        "same",
+    ),
+    # --- joins (J1-J7) ---
+    "j5_broadcast_join_agg": (
+        "SELECT /*+ BROADCAST(p) */ l_returnflag, count(*) AS cnt, "
+        "round(sum(l_extendedprice), 2) AS revenue "
+        "FROM lineitem JOIN part p ON l_partkey = p_partkey "
+        "WHERE p_size > 25 GROUP BY l_returnflag",
+        "same",
+    ),
+    "j5_anti_join": (
+        "SELECT c_mktsegment, count(*) AS cnt FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY c_mktsegment",
+        "same",
+    ),
+    "j1_time_range_self_join": (_j1_time_range, _DUCK_J1),
+    # --- windows (W1-W7) ---
+    "w1_ordinal_naming": (
+        "WITH ranked AS (SELECT o_orderkey, o_custkey, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+        "FROM orders) "
+        "SELECT o_orderkey, concat('c', CAST(o_custkey AS STRING), "
+        "CASE WHEN rn > 1 THEN concat('_', CAST(rn AS STRING)) ELSE '' END, '.csv') AS new_name "
+        "FROM ranked",
+        "same",
+    ),
+    "w3_argmax_best_match": (
+        "WITH ranked AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) AS rn FROM orders) "
+        "SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price "
+        "FROM ranked WHERE rn = 1",
+        "same",
+    ),
+    "w5_sliding_frame_avg": (
+        "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS smoothed "
+        "FROM events",
+        "same",
+    ),
+    # --- aggregations (A1-A8) ---
+    "a2_duplicate_detection": (
+        "SELECT n_chars, count(*) AS dup_count FROM documents "
+        "GROUP BY n_chars HAVING count(*) > 1",
+        "same",
+    ),
+    "a3_group_bool_or": (
+        "SELECT o_custkey, max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_final "
+        "FROM orders GROUP BY o_custkey",
+        "same",
+    ),
+    "a6_ordered_distinct_union": (
+        "SELECT lang, array_join(array_sort(collect_set(source)), ';') AS sources, "
+        "count(*) AS cnt FROM documents GROUP BY lang",
+        "SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ';') AS sources, "
+        "count(*) AS cnt FROM documents GROUP BY lang",
+    ),
+    # --- set ops (U1-U5) ---
+    "u1_union_by_name": (
+        "SELECT lang, count(*) AS cnt FROM ("
+        "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
+        "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'es') u GROUP BY lang",
+        "same",
+    ),
+    "u2_word_overlap": (
+        "SELECT doc_id, size(array_intersect(split(lower(text), ' '), "
+        "array('spark', 'data', 'query'))) AS overlap FROM documents",
+        "SELECT doc_id, len(list_intersect(string_split(lower(text), ' '), "
+        "['spark', 'data', 'query'])) AS overlap FROM documents",
+    ),
+    # --- scalar functions (X1-X17) ---
+    "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
+    "x5_sanitize_filename": (
+        "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')), "
+        "'[ ]+', '_'), '[<>:?*]', ''), '[_]+', '_'), '^[_]+|[_]+$', '') AS clean_name "
+        "FROM customer",
+        "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')), "
+        "'[ ]+', '_', 'g'), '[<>:?*]', '', 'g'), '[_]+', '_', 'g'), '^[_]+|[_]+$', '', 'g') AS clean_name "
+        "FROM customer",
+    ),
+    "x13_json_extract": (
+        "SELECT event_type, round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k "
+        "FROM events GROUP BY event_type",
+        "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k "
+        "FROM events GROUP BY event_type",
+    ),
+    "x16_date_format_agg": (
+        "SELECT date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS cnt FROM events GROUP BY 1",
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events GROUP BY 1",
+    ),
+    # --- sorts / top-k (O1-O4) ---
+    "o1_topk_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+        "same",
+    ),
+    # --- training-data ops: dedup ---
+    "dedup_exact_hash": (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)",
+        "same",
+    ),
+    "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
+    "dedup_minhash_lsh": (_dedup_minhash, None),      # xxhash64: not in DuckDB
+    "dedup_simhash": (_dedup_simhash, None),          # xxhash64: not in DuckDB
+    # --- training-data ops: similarity search ---
+    "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
+    "embed_cosine_topk_lsh": (_embed_topk_lsh, None),  # single-probe ANN: recall<1 by design
+    "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
+    # --- training-data ops: text analysis ---
+    "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),
+    "text_language_id": (
+        _lang_id_spark,
+        f"SELECT lang, {_lang_id_sql('duck')} AS lang_guess, count(*) AS cnt "
+        "FROM documents GROUP BY 1, 2",
+    ),
+    "doc_fingerprint": (_doc_fingerprint, None),       # xxhash64: not in DuckDB
+    # --- extraction core (Arrow UDFs: not SQL-expressible) ---
+    "extract_flagship": (_extract_flagship, None),
+    "extract_best_labels": (_extract_best_labels, None),
+    "extract_lineage_stats": (_extract_lineage_stats, None),
+    # --- stateful grouping (sequential-transitive fold) ---
+    "auto_group_transitive": (_auto_group_events, None),
+    # --- snapshot inference (±9-row window + Arrow matching UDF) ---
+    "infer_groups_snapshot": (_infer_groups_snapshot, None),
+}
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (impl, _) in REGISTRY.items():
+        out[name] = _sql_query(impl) if isinstance(impl, str) else impl
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (impl, oracle) in REGISTRY.items():
+        if oracle is None:
+            continue
+        out[name] = impl if oracle == "same" else oracle
+    return out

@@ -80,21 +80,32 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(col_name: str, num_hashes: int = 32, shingle_width: int = 5) -> Column:
-    """k-permutation MinHash signature as array<bigint>.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_width: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>) — k-permutation MinHash.
 
-    h_i(doc) = min over shingles of xxhash64(shingle, i) — xxhash64's seed
-    argument position gives k independent hash families without string
-    concat.  All inside one JVM expression; no UDF."""
-    return F.expr(
-        "transform(sequence(0, {k}), seed -> "
-        " array_min(transform("
-        "   array_distinct(transform(sequence(1, greatest(length({c}) - {w}, 1)),"
-        "     i -> substring({c}, i, {w1}))),"
-        "   s -> xxhash64(s, seed))))".format(
-            k=num_hashes - 1, c=col_name, w=shingle_width - 1, w1=shingle_width
-        )
+    h_i(doc) = min over shingles of xxhash64(shingle, i); xxhash64's seed
+    argument gives k independent hash families without string concat.
+
+    Physical shape: explode shingles → groupBy(id) with k codegen'd
+    ``min`` aggregates → pack into an array.  This stays inside
+    whole-stage codegen with map-side partial aggregation; the
+    nested-lambda formulation (transform ∘ array_min ∘ transform) runs
+    interpreted at ~1µs/hash and is ~10× slower."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text_col, shingle_width)).alias("sh"),
     )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy("id").agg(*aggs)
+    return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -113,10 +124,7 @@ def minhash_lsh_candidates(
     buckets).  Output: distinct (id_a, id_b) candidates, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_width).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -149,13 +157,32 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     shingle_width: int = 5,
 ) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    """LSH candidates → cheap signature-estimate prefilter → exact Jaccard.
+
+    Two-stage verification is what survives skewed corpora: a vocabulary-
+    dense corpus makes LSH buckets collide far below the threshold, and
+    exact shingle intersection on every candidate (|shingles| string
+    compares per pair) becomes the bottleneck.  The signature estimate
+    (mean of 32 long equalities via zip_with) is ~two orders cheaper and
+    prunes sub-threshold candidates before the exact pass."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width)
+    with_sigs = (
+        cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    )
+    est = F.expr(
+        f"aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (s, v) -> s + v)"
+        f" / cast({num_hashes} as double)"
+    )
+    # estimator slack: keep anything within ~2σ of the threshold
+    survivors = with_sigs.filter(est >= threshold - 0.15).select("id_a", "id_b")
     sh = df.select(
         F.col(id_col).alias("id"), char_shingles(text_col, shingle_width).alias("sh")
     )
     joined = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        survivors
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

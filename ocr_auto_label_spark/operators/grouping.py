@@ -124,19 +124,35 @@ def with_time_clusters(
 def auto_group(
     df: DataFrame,
     key_cols: list[str] | None = None,
+    fold_buckets: int = 64,
 ) -> DataFrame:
-    """Distributed auto-grouping: cluster → applyInPandas(sequential fold).
+    """Distributed auto-grouping via applyInPandas(sequential fold).
 
-    Input columns: id, ts_ms, group, status, desc, colors; any ``key_cols``
-    (e.g. conv_id) partition the clustering.  Output: id, ts_ms, group,
-    status, grouping_confidence.
+    Input columns: id, ts_ms, group, status, desc, colors; output: id,
+    ts_ms, group, status, grouping_confidence.
+
+    Partitioning correctness: the fold only pairs rows within ±window, and
+    rows of *different* session clusters are always further apart than the
+    window — so folding any union of whole clusters (sorted by ts) equals
+    folding each cluster separately equals the reference's global
+    sequential pass.  Two physical shapes follow:
+
+    - with ``key_cols`` (e.g. conv_id): one pandas group per key — no
+      clustering pass needed, the per-key fold is already exact.
+    - global (reference semantics, no keys): session-cluster first, then
+      **batch whole clusters** into ``fold_buckets`` groups via
+      pmod(cluster, buckets).  Batching keeps the number of pandas
+      invocations bounded (per-group Arrow overhead dominates with
+      thousands of tiny clusters) without changing results.
     """
-    clustered = with_time_clusters(df, key_cols=key_cols)
-    group_keys = [*(key_cols or []), "__cluster"]
-    return (
-        clustered.groupBy(*group_keys)
-        .applyInPandas(
-            lambda pdf: sequential_group_cluster(pdf),
-            schema=GROUPED_SCHEMA,
+    if key_cols:
+        return df.groupBy(*key_cols).applyInPandas(
+            lambda pdf: sequential_group_cluster(pdf), schema=GROUPED_SCHEMA
         )
+    clustered = with_time_clusters(df)
+    bucketed = clustered.withColumn(
+        "__bucket", F.pmod(F.col("__cluster"), F.lit(fold_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(
+        lambda pdf: sequential_group_cluster(pdf), schema=GROUPED_SCHEMA
     )

@@ -27,7 +27,8 @@ def time_range_self_join(
     Output columns: key cols (from a), a_id, b_id, a_ts, b_ts, delta_s.
     """
     key_cols = key_cols or []
-    epoch = F.col(ts_col).cast("long")
+    # cast via TIMESTAMP first: parquet TIMESTAMP_NTZ can't cast to long directly
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
     base = df.select(
         *[F.col(c) for c in key_cols],
         F.col(id_col).alias("id"),

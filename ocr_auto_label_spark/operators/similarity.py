@@ -33,6 +33,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
 
@@ -48,9 +49,11 @@ def brute_force_topk(
                 f" / (sqrt(aggregate({vec_col}, 0D, (s, v) -> s + cast(v as double) * v))"
                 f" * sqrt(aggregate({qlit}, 0D, (s, v) -> s + v * v)))"
             ),
-            6,
+            round_digits,
         ).alias("cosine"),
     )
+    # ordering on the ROUNDED score keeps the top-k boundary stable across
+    # engines with different float accumulation order
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 

@@ -1,0 +1,97 @@
+"""Structured Streaming analog of the batch pipeline (SURVEY.md §2.9).
+
+The reference is incremental/evented (per-item status pushes over SSE,
+bounded-concurrency queues — upload.ts:711-741, 966-1007); stream-native
+Spark replaces all of that:
+
+- incremental ingest = ``readStream`` with ``availableNow`` (process all
+  files present, then stop — the batch/streaming duality of S1/S2),
+- the same Arrow extraction UDF runs unchanged on the stream,
+- ±2-minute proximity clustering (grouping.ts:123-125) becomes a
+  watermarked session window,
+- per-item status pushes become per-microbatch progress metrics.
+
+Checkpointing is Spark-native here (offsets + sink commit log), which is
+the streaming counterpart of the batch lineage table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ocr_auto_label_spark.plans.extraction_pipeline import extract_turns
+from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental extraction: new transcript files → extracted turns.
+
+    ``availableNow`` drains everything currently present then stops —
+    the idiomatic replacement for the reference's eager-vs-streamed ZIP
+    scan duality (zipExtractor.ts:29-130 vs :161-269)."""
+    turns = extract_turns(read_transcript_stream(spark, input_path))
+    writer = (
+        turns.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_label_counts(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "2 minutes",
+    watermark: str = "4 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window label-hit counts — the streaming analog
+    of the ±2-minute proximity clustering (grouping.ts:123-125) plus the
+    grouped-success tally (grouping.ts:114)."""
+    turns = extract_turns(read_transcript_stream(spark, input_path))
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum((F.size("candidates") > 0).cast("long")).alias("turns_with_label"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "conv_id", "turns", "turns_with_label",
+        )
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    counts = windowed_label_counts(spark, input_path)
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
