@@ -131,6 +131,59 @@ def _grammar_validate_duck() -> str:
     )
 
 
+def _fuzzy_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.fuzzy_join import fuzzy_canonical_join
+
+    codes = [(i, c) for i, c in enumerate(_grammar_codes())]
+    df = spark.createDataFrame(codes, "code_id: int, code: string")
+    return fuzzy_canonical_join(df)
+
+
+def _fuzzy_join_duck() -> str:
+    from ocr_auto_label_spark.labelcore.canonical import canonical_labels
+
+    dim_vals = ", ".join(f"('{label}')" for label, _ in canonical_labels())
+    probe_vals = ", ".join(
+        "({}, '{}')".format(i, c.replace("'", "''")) for i, c in enumerate(_grammar_codes())
+    )
+    return f"""
+WITH dim AS (SELECT label FROM (VALUES {dim_vals}) d(label)),
+probe AS (SELECT code_id, code FROM (VALUES {probe_vals}) t(code_id, code)),
+scored AS (
+  SELECT p.code_id, p.code, d.label AS canon,
+         levenshtein(upper(trim(p.code)), d.label) AS dist
+  FROM probe p LEFT JOIN dim d
+    ON string_split(d.label, '.')[1] = string_split(upper(trim(p.code)), '.')[1]
+   AND len(string_split(d.label, '.')) = len(string_split(upper(trim(p.code)), '.'))),
+masked AS (
+  SELECT code_id, code, canon,
+         CASE WHEN dist <= 1 THEN dist END AS mdist
+  FROM scored),
+ranked AS (
+  SELECT code_id, code, canon, mdist,
+         row_number() OVER (PARTITION BY code_id
+                            ORDER BY mdist ASC NULLS LAST, canon ASC NULLS LAST) AS rn
+  FROM masked)
+SELECT code_id, code,
+       CASE WHEN mdist IS NOT NULL THEN canon END AS canonical,
+       mdist AS distance
+FROM ranked WHERE rn = 1
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=120))
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.multimodal import sample_frames, synth_media
+
+    frames = sample_frames(synth_media(spark, n=120))
+    return frames.select("media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes"))
+
+
 # ------------------------------------------------------ operator-backed
 
 def _sf_turns(sf_dir: str) -> int:
@@ -394,6 +447,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "same",
     ),
     "j1_time_range_self_join": (_j1_time_range, _DUCK_J1),
+    "j6_fuzzy_canonical_join": (_fuzzy_join_spark, _fuzzy_join_duck()),
     # --- windows (W1-W7) ---
     "w1_ordinal_naming": (
         "WITH ranked AS (SELECT o_orderkey, o_custkey, "
@@ -470,11 +524,22 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS cnt FROM events GROUP BY 1",
         "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events GROUP BY 1",
     ),
-    # --- sorts / top-k (O1-O4) ---
+    "x17_group_prefix": (
+        "SELECT regexp_extract(concat(lang, '_', CAST(doc_id AS STRING)), '^([^_]+)_', 1) "
+        "AS group_prefix, count(*) AS cnt FROM documents GROUP BY 1",
+        "same",
+    ),
+    # --- sorts / top-k / pagination (O1-O4) ---
     "o1_topk_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
         "same",
+    ),
+    "o1_offset_pagination": (
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40",
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40",
     ),
     # --- training-data ops: dedup ---
     "dedup_exact_hash": (
@@ -497,10 +562,25 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "FROM documents GROUP BY 1, 2",
     ),
     "doc_fingerprint": (_doc_fingerprint, None),       # xxhash64: not in DuckDB
+    "text_token_count_bpe": (
+        "SELECT doc_id, size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) "
+        "AS bpe_tokens FROM documents",
+        "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) "
+        "AS bpe_tokens FROM documents",
+    ),
+    # --- multimodal (binary payload + typed metadata; codec stubbed) ---
+    "multimodal_features": (_multimodal_features, None),
+    "multimodal_frame_sample": (_multimodal_frames, None),
     # --- extraction core (Arrow UDFs: not SQL-expressible) ---
     "extract_flagship": (_extract_flagship, None),
     "extract_best_labels": (_extract_best_labels, None),
     "extract_lineage_stats": (_extract_lineage_stats, None),
+    "full_pipeline_e1": (
+        lambda spark, sf_dir: __import__(
+            "ocr_auto_label_spark.plans.full_pipeline", fromlist=["run_full_pipeline"]
+        ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
+        None,
+    ),
     # --- stateful grouping (sequential-transitive fold) ---
     "auto_group_transitive": (_auto_group_events, None),
     # --- snapshot inference (±9-row window + Arrow matching UDF) ---

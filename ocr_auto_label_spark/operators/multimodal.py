@@ -1,0 +1,166 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's media handling is filesystem-level (sharp resize at
+gemini.ts:21-42, `.MP.JPG` first-frame extraction at upload.ts:350-365,
+HEIC conversion in copy_folder.ipynb).  At 100TB those become columnar
+ops over a table
+
+    media(media_id long, media_type string, payload binary,
+          meta struct<width:int, height:int, duration_ms:int, codec:string>)
+
+All Spark-side plumbing here is real — schema, partition-preserving
+``mapInPandas`` with Arrow batches, UDF signatures, batch shapes, tests.
+The codec step itself is STUBBED: this container has no image/audio
+libraries, so ``decode_media_batch`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives pixel/sample features from the
+payload bytes reproducibly (same contract shape a real Pillow/ffmpeg
+implementation would fill in).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),  # image | audio | video
+    StructField("payload", BinaryType()),
+    StructField("meta", StructType([
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("codec", StringType()),
+    ])),
+])
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("feature", ArrayType(FloatType())),
+    StructField("payload_bytes", IntegerType()),
+])
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 13) -> DataFrame:
+    """Deterministic synthetic media table (no external data)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    types = ("image", "audio", "video")
+    codecs = {"image": "jpeg", "audio": "pcm16", "video": "h264"}
+    for i in range(n):
+        mt = types[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8).tobytes()
+        rows.append((
+            i, mt, bytearray(payload),
+            (int(rng.integers(64, 1920)), int(rng.integers(64, 1080)),
+             int(rng.integers(1000, 60000)) if mt != "image" else 0,
+             codecs[mt]),
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_media_batch(payloads: pd.Series, media_types: pd.Series,
+                       deterministic_fake: bool = False) -> np.ndarray:
+    """The codec boundary.  A production build plugs Pillow/torchaudio/
+    ffmpeg in here; this container has none, so either fake or raise."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; pass deterministic_fake=True for the "
+            "reproducible byte-derived feature stub"
+        )
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    for i, payload in enumerate(payloads):
+        digest = hashlib.sha256(bytes(payload)).digest()
+        out[i] = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
+    return out
+
+
+def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """media table → per-item feature vectors via mapInPandas.
+
+    Narrow (partition-preserving, no shuffle); Arrow batches keep payload
+    bytes off the Python heap until the batch is processed."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decode_media_batch(pdf["payload"], pdf["media_type"],
+                                       deterministic_fake=deterministic_fake)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "feature": [row.tolist() for row in feats],
+                "payload_bytes": pdf["payload"].map(len).astype("int32"),
+            })
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """video rows → one row per sampled frame timestamp (UDTF shape).
+
+    Real implementation would seek/decode; the stub slices the payload
+    deterministically per frame index so batch shape, explode fan-out and
+    schema are all exercised for real."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "video" or r.meta is None:
+                    continue
+                duration = r.meta["duration_ms"] or 0
+                n_frames = max(1, duration // every_ms)
+                raw = bytes(r.payload)
+                for k in range(int(n_frames)):
+                    ids.append(r.media_id)
+                    idxs.append(k)
+                    lo = (k * 64) % max(len(raw) - 64, 1)
+                    payloads.append(bytearray(raw[lo:lo + 64]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_payload": pd.Series(payloads, dtype=object),
+            })
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_metadata(df: DataFrame, max_side: int = 1024) -> DataFrame:
+    """The reference's resize-if-large rule (gemini.ts:26-31: >4MB →
+    ≤1024², else passthrough) as pure column math over the typed metadata —
+    the planning half of a resize, no decode needed."""
+    needs = (F.length("payload") > 4 * 1024 * 1024) | (
+        F.greatest(F.col("meta.width"), F.col("meta.height")) > max_side
+    )
+    scale = F.least(
+        F.lit(1.0),
+        max_side / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
+    )
+    return df.select(
+        "media_id",
+        needs.cast("int").alias("needs_resize"),
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
+    )

@@ -96,7 +96,11 @@ def resolve_duplicate_names(
     members (the reference regenerates via generateSmartFilename, which
     indexes by created-at within the group — upload.ts:795-801)."""
     w_name = Window.partitionBy(name_col).orderBy(F.col(created_col), F.col(id_col))
-    flagged = df.withColumn("__dup_rank", F.row_number().over(w_name))
+    named = F.col(name_col).isNotNull() & (F.col(name_col) != "")
+    # null/empty names are not duplicates of each other (upload.ts:758-764)
+    flagged = df.withColumn(
+        "__dup_rank", F.when(named, F.row_number().over(w_name)).otherwise(F.lit(1))
+    )
     w_group = Window.partitionBy(group_col).orderBy(F.col(created_col), F.col(id_col))
     regenerated = F.concat(
         sanitize_filename_col(F.coalesce(F.col(group_col), F.lit("ungrouped"))),

@@ -46,7 +46,8 @@ def _norm_cell(v):
 
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
