@@ -98,6 +98,56 @@ def _textstats_sql(dialect: str) -> str:
     )
 
 
+def _color_family_sql() -> str:
+    """X10 (groupInference.ts:105-166) as dialect-neutral SQL: synthesize a
+    deterministic RGB per doc, convert to HSL with JS Math.round semantics
+    (floor(x+0.5)), classify into the reference's 12 families (first match
+    wins, hue wrap-around).  Generated from labelcore's COLOR_FAMILIES so
+    SQL and the pure-Python oracle share one source of truth."""
+    from ocr_auto_label_spark.labelcore.inference import COLOR_FAMILIES
+
+    def h_cond(h0: int, h1: int) -> str:
+        if h0 <= h1:
+            return f"h BETWEEN {h0} AND {h1}"
+        return f"(h >= {h0} OR h <= {h1})"
+
+    whens = []
+    for name, ranges in COLOR_FAMILIES:
+        conds = " OR ".join(
+            f"({h_cond(h0, h1)} AND s BETWEEN {s0} AND {s1} AND l BETWEEN {l0} AND {l1})"
+            for h0, h1, s0, s1, l0, l1 in ranges
+        )
+        whens.append(f"WHEN {conds} THEN '{name}'")
+    family_case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    return f"""
+WITH rgb AS (
+  SELECT doc_id,
+         CAST(floor(((doc_id * 2654435761) % 16777216) / 65536.0) AS INT) AS r,
+         CAST(floor((((doc_id * 2654435761) % 16777216) % 65536) / 256.0) AS INT) AS g,
+         CAST((((doc_id * 2654435761) % 16777216) % 256) AS INT) AS b
+  FROM documents),
+norm AS (
+  SELECT doc_id, r / 255.0 AS rn, g / 255.0 AS gn, b / 255.0 AS bn,
+         greatest(r, g, b) / 255.0 AS mx, least(r, g, b) / 255.0 AS mn
+  FROM rgb),
+pre AS (
+  SELECT doc_id, rn, gn, bn, mx, mn, mx - mn AS d, (mx + mn) / 2 AS l0 FROM norm),
+hsl AS (
+  SELECT doc_id,
+         CAST(floor(360 * (CASE WHEN mx = mn THEN 0
+           ELSE (CASE WHEN mx = rn THEN (gn - bn) / d + (CASE WHEN gn < bn THEN 6 ELSE 0 END)
+                      WHEN mx = gn THEN (bn - rn) / d + 2
+                      ELSE (rn - gn) / d + 4 END) / 6 END) + 0.5) AS INT) AS h,
+         CAST(floor(100 * (CASE WHEN mx = mn THEN 0
+           ELSE (CASE WHEN l0 > 0.5 THEN d / (2 - mx - mn) ELSE d / (mx + mn) END) END) + 0.5) AS INT) AS s,
+         CAST(floor(100 * l0 + 0.5) AS INT) AS l
+  FROM pre)
+SELECT family, count(*) AS cnt
+FROM (SELECT doc_id, {family_case} AS family FROM hsl) f
+GROUP BY family
+"""
+
+
 # ------------------------------------------------------- grammar fixture
 
 def _grammar_codes() -> list[str]:
@@ -447,8 +497,59 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "same",
     ),
     "j1_time_range_self_join": (_j1_time_range, _DUCK_J1),
+    "j2_ordinal_proximity_join": (
+        # ±9-row neighborhood (groupInference.ts:354-366); partitioned by
+        # source so the ranking window never collapses to one task at scale
+        "WITH ranked AS (SELECT doc_id, source, "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+        "SELECT a.doc_id AS doc_id, count(*) AS neighbor_cnt "
+        "FROM ranked a JOIN ranked b ON a.source = b.source "
+        "AND abs(a.rn - b.rn) <= 9 AND a.doc_id <> b.doc_id GROUP BY a.doc_id",
+        "same",
+    ),
+    "j3_group_membership_size": (
+        "SELECT o_orderkey, count(*) OVER (PARTITION BY o_custkey) AS group_size FROM orders",
+        "same",
+    ),
     "j6_fuzzy_canonical_join": (_fuzzy_join_spark, _fuzzy_join_duck()),
+    # --- sources (S3/S4/S8 shaping) ---
+    "s3_source_format_filter": (
+        "SELECT ext, count(*) AS cnt FROM ("
+        "SELECT regexp_extract(path, '\\\\.([^.]*)$', 1) AS ext FROM ("
+        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
+        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
+        "ELSE '.__MACOSX' END) AS path FROM documents) p "
+        "WHERE path rlike '\\\\.(jpg|jpeg|png|heic|heif)$' "
+        "AND NOT path rlike '(^|/)\\\\._|__MACOSX') e GROUP BY ext",
+        "SELECT ext, count(*) AS cnt FROM ("
+        "SELECT regexp_extract(path, '\\.([^.]*)$', 1) AS ext FROM ("
+        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
+        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
+        "ELSE '.__MACOSX' END) AS path FROM documents) p "
+        "WHERE regexp_matches(path, '\\.(jpg|jpeg|png|heic|heif)$') "
+        "AND NOT regexp_matches(path, '(^|/)\\._|__MACOSX')) e GROUP BY ext",
+    ),
+    "s8_export_shape": (
+        # images.ts:799-814: ISO timestamp + empty-string defaults per column
+        "SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_iso, "
+        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
+        "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_iso, "
+        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
+    ),
     # --- windows (W1-W7) ---
+    "w2_stable_turn_ordering": (
+        "SELECT event_id, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS turn_rank FROM events",
+        "same",
+    ),
+    "w4_most_recent_pick": (
+        "WITH ranked AS (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) SELECT user_id, event_id AS latest_event FROM ranked WHERE rn = 1",
+        "same",
+    ),
     "w1_ordinal_naming": (
         "WITH ranked AS (SELECT o_orderkey, o_custkey, "
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
@@ -473,6 +574,32 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "same",
     ),
     # --- aggregations (A1-A8) ---
+    "a1_notebook_numbering": (
+        # rename_photos.ipynb rule: every member gets _n starting at 1
+        # (vs W1's no-suffix-for-first webapp rule)
+        "WITH ranked AS (SELECT o_orderkey, o_custkey, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+        "FROM orders) SELECT o_orderkey, concat('c', CAST(o_custkey AS STRING), '_', "
+        "CAST(rn AS STRING), '.jpg') AS new_name FROM ranked",
+        "same",
+    ),
+    "a5_extension_stats": (
+        "SELECT lower(regexp_extract(concat('f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 THEN '.JPG' WHEN doc_id % 3 = 1 THEN '.png' "
+        "ELSE '.heic' END), '\\\\.([^.]*)$', 1)) AS ext, count(*) AS cnt "
+        "FROM documents GROUP BY 1",
+        "SELECT lower(regexp_extract(concat('f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 THEN '.JPG' WHEN doc_id % 3 = 1 THEN '.png' "
+        "ELSE '.heic' END), '\\.([^.]*)$', 1)) AS ext, count(*) AS cnt "
+        "FROM documents GROUP BY 1",
+    ),
+    "a8_hit_rate_tally": (
+        # grouping.ts:114 success tally → our per-partition hit-rate metric
+        "SELECT user_id, count(*) AS row_count, "
+        "round(avg(CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS DOUBLE)), 6) "
+        "AS hit_rate FROM events GROUP BY user_id",
+        "same",
+    ),
     "a2_duplicate_detection": (
         "SELECT n_chars, count(*) AS dup_count FROM documents "
         "GROUP BY n_chars HAVING count(*) > 1",
@@ -502,8 +629,96 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT doc_id, len(list_intersect(string_split(lower(text), ' '), "
         "['spark', 'data', 'query'])) AS overlap FROM documents",
     ),
+    "u3_stopword_except": (
+        "SELECT doc_id, size(array_except(split(lower(text), ' '), "
+        "array('the', 'a', 'an', 'and', 'or', 'in', 'on', 'at', 'to', 'of'))) "
+        "AS meaningful_cnt FROM documents",
+        "SELECT doc_id, len(list_distinct(list_filter(string_split(lower(text), ' '), "
+        "w -> NOT list_contains(['the', 'a', 'an', 'and', 'or', 'in', 'on', 'at', 'to', 'of'], w)))) "
+        "AS meaningful_cnt FROM documents",
+    ),
     # --- scalar functions (X1-X17) ---
+    "x1_code_normalization": (
+        "SELECT code, upper(trim(code)) AS norm_code, "
+        "size(split(upper(trim(code)), '\\\\.')) AS seg_cnt, "
+        "element_at(split(upper(trim(code)), '\\\\.'), 1) AS first_seg FROM "
+        "(SELECT concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code "
+        "FROM customer) t",
+        "SELECT code, upper(trim(code)) AS norm_code, "
+        "len(string_split(upper(trim(code)), '.')) AS seg_cnt, "
+        "string_split(upper(trim(code)), '.')[1] AS first_seg FROM "
+        "(SELECT concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code "
+        "FROM customer) t",
+    ),
     "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
+    "x6_extension_dual": (
+        # upload.ts:680 last-dot vs rename_photos.ipynb first-dot
+        "SELECT doc_id, regexp_extract(fname, '\\\\.([^.]*)$', 1) AS ext_last, "
+        "regexp_extract(fname, '^[^.]*\\\\.(.*)$', 1) AS ext_first FROM "
+        "(SELECT doc_id, concat('img.', lang, "
+        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
+        "FROM documents) t",
+        "SELECT doc_id, regexp_extract(fname, '\\.([^.]*)$', 1) AS ext_last, "
+        "regexp_extract(fname, '^[^.]*\\.(.*)$', 1) AS ext_first FROM "
+        "(SELECT doc_id, concat('img.', lang, "
+        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
+        "FROM documents) t",
+    ),
+    "x7_word_overlap_similarity": (
+        "SELECT a.doc_id AS doc_id, round(size(array_intersect("
+        "split(lower(a.text), ' '), split(lower(b.text), ' '))) * 1.0 / "
+        "greatest(greatest(size(split(lower(a.text), ' ')), size(split(lower(b.text), ' '))), 1), 6) "
+        "AS overlap FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
+        "SELECT a.doc_id AS doc_id, round(len(list_distinct(list_intersect("
+        "string_split(lower(a.text), ' '), string_split(lower(b.text), ' ')))) * 1.0 / "
+        "greatest(greatest(len(string_split(lower(a.text), ' ')), len(string_split(lower(b.text), ' '))), 1), 6) "
+        "AS overlap FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
+    ),
+    "x9_color_normalization": (
+        "SELECT norm_color, count(*) AS cnt FROM (SELECT trim(regexp_replace(lower(concat("
+        "CASE WHEN doc_id % 3 = 0 THEN 'light ' WHEN doc_id % 3 = 1 THEN 'dark ' ELSE '' END, "
+        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\\\s+', '')) AS norm_color "
+        "FROM documents) t GROUP BY norm_color",
+        "SELECT norm_color, count(*) AS cnt FROM (SELECT trim(regexp_replace(lower(concat("
+        "CASE WHEN doc_id % 3 = 0 THEN 'light ' WHEN doc_id % 3 = 1 THEN 'dark ' ELSE '' END, "
+        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\s+', '', 'g')) AS norm_color "
+        "FROM documents) t GROUP BY norm_color",
+    ),
+    "x10_color_family": (_color_family_sql(), "same"),
+    "x12_time_decay": (
+        # grouping.ts:187-190: max(0, 1 - Δt/window) * 0.2
+        "SELECT event_id, round(greatest(0.0, 1.0 - (tsl - min_ts) / 120.0) * 0.2, 6) "
+        "AS decay_score FROM (SELECT event_id, unix_timestamp(ts) AS tsl, "
+        "min(unix_timestamp(ts)) OVER (PARTITION BY user_id) AS min_ts FROM events) t",
+        "SELECT event_id, round(greatest(0.0, 1.0 - (tsl - min_ts) / 120.0) * 0.2, 6) "
+        "AS decay_score FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl, "
+        "min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS min_ts "
+        "FROM events) t",
+    ),
+    "x14_fence_strip_json": (
+        # gemini.ts:223-257: strip ```json fences, then parse
+        "SELECT event_type, round(avg(CAST(get_json_object(regexp_replace("
+        "concat('```json', chr(10), props, chr(10), '```'), "
+        "'^```json\\\\s*|\\\\s*```$', ''), '$.k') AS INT)), 4) AS avg_k "
+        "FROM events GROUP BY event_type",
+        "SELECT event_type, round(avg(CAST(json_extract_string(regexp_replace("
+        "concat('```json', chr(10), props, chr(10), '```'), "
+        "'^```json\\s*|\\s*```$', '', 'g'), '$.k') AS INT)), 4) AS avg_k "
+        "FROM events GROUP BY event_type",
+    ),
+    "x15_csv_field_shaping": (
+        # images.ts:799-814: colors → 'name:color; …' + empty defaults
+        "SELECT doc_id, concat_ws('; ', transform(array("
+        "named_struct('name', 'primary', 'color', lang), "
+        "named_struct('name', 'source', 'color', source)), "
+        "x -> concat(x.name, ':', x.color))) AS colors_csv, "
+        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty FROM documents",
+        "SELECT doc_id, array_to_string(list_transform("
+        "[struct_pack(name := 'primary', color := lang), "
+        "struct_pack(name := 'source', color := source)], "
+        "x -> concat(x.name, ':', x.color)), '; ') AS colors_csv, "
+        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty FROM documents",
+    ),
     "x5_sanitize_filename": (
         "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')), "
@@ -533,6 +748,11 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "o1_topk_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+        "same",
+    ),
+    "o2_multi_field_sort": (
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30",
         "same",
     ),
     "o1_offset_pagination": (

@@ -81,6 +81,17 @@ def test_rows_only_queries_run(spark, name):
     assert sdf.columns
 
 
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_per_row_python_udf_in_any_plan(spark, name):
+    """north_rule: zero per-row Python UDFs anywhere in the plan — every
+    registry query's physical plan must be free of BatchEvalPython (Arrow
+    surfaces show as ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas,
+    all of which batch via Arrow)."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF in plan"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()
