@@ -139,8 +139,11 @@ def main() -> None:
         "cpus": CPUS,
     }
     if args.scaling:
-        n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "400000"))
-        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16")
+        # pair 2,8 sits fully inside this 32-core host's capacity (≤8 busy
+        # cores leaves the JVM headroom and avoids the host-level per-core
+        # frequency/bandwidth decay measured in BENCH/BASELINE.md §control)
+        n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "1600000"))
+        pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
         n_lo, n_hi = (int(x) for x in pair.split(","))
         lo = scaling_run(f"local[{n_lo}]", n_lo, n_turns)
         hi = scaling_run(f"local[{n_hi}]", n_hi, n_turns)

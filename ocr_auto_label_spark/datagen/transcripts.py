@@ -158,18 +158,30 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
 
 
 def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spark_graft_data") -> str:
-    """Materialize (cached) the synthetic table as parquet; returns the path.
+    """Materialize (cached) the synthetic table as a parquet directory.
 
-    Cached by (n_turns, seed) so tests/bench reuse the same files; written
-    atomically (tmp + rename) for concurrent safety.
+    Multi-file layout (chunks of ≤25k turns) mirrors a real Iceberg
+    table's many data files: the scan stage gets one task per file and
+    parallelizes instead of bottlenecking on a single-file byte-range
+    split.  Cached by (n_turns, seed); written atomically (tmp dir +
+    rename) for concurrent safety.
     """
     path = os.path.join(base_dir, f"transcripts_n{n_turns}_s{seed}.parquet")
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
+    if os.path.isfile(path):  # pre-multi-file cache from an older run
+        os.remove(path)
     os.makedirs(base_dir, exist_ok=True)
     pdf = generate_transcripts(n_turns, seed)
     tmp = path + ".tmp"
-    # small row groups keep the single file splittable into many scan tasks
-    pdf.to_parquet(tmp, index=False, row_group_size=8192)
+    os.makedirs(tmp, exist_ok=True)
+    chunk = 25_000
+    n_files = max(1, -(-len(pdf) // chunk))
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk:(i + 1) * chunk]
+        part.to_parquet(
+            os.path.join(tmp, f"part-{i:05d}.parquet"),
+            index=False, row_group_size=8192,
+        )
     os.replace(tmp, path)
     return path

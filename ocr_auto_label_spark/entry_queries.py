@@ -251,19 +251,14 @@ def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.plans.extraction_pipeline import (
-        extract_candidates_flat,
-        salted_repartition,
-    )
+    from ocr_auto_label_spark.plans.extraction_pipeline import extract_candidates_flat
 
-    # salted repartition feeds every core: the local synthetic input is one
-    # small file (1 split), and extraction is the CPU-bound stage — on a
-    # cluster the same call spreads hot conversations (north_star)
-    turns = salted_repartition(
-        _synthetic_transcripts(spark, sf_dir),
-        spark.sparkContext.defaultParallelism * 2,
-    )
-    flat = extract_candidates_flat(turns)
+    # Narrow path, zero shuffles: per-turn extraction needs no repartition —
+    # scan parallelism comes from the (multi-file) table layout, exactly as
+    # on a real Iceberg table.  Salted repartitioning (north_star) is
+    # applied where it matters: ahead of the *wide* ops in full_pipeline_e1
+    # and the lineage-bucketed job, where hot conv_ids would skew shuffles.
+    flat = extract_candidates_flat(_synthetic_transcripts(spark, sf_dir))
     return flat.select(
         "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
         "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
@@ -271,16 +266,9 @@ def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_best_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.plans.extraction_pipeline import (
-        best_labels,
-        salted_repartition,
-    )
+    from ocr_auto_label_spark.plans.extraction_pipeline import best_labels
 
-    turns = salted_repartition(
-        _synthetic_transcripts(spark, sf_dir),
-        spark.sparkContext.defaultParallelism * 2,
-    )
-    return best_labels(turns).select(
+    return best_labels(_synthetic_transcripts(spark, sf_dir)).select(
         "conv_id", "turn_idx", "extracted_text", "label", "confidence"
     )
 

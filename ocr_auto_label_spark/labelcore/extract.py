@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 from ocr_auto_label_spark.labelcore.boilerplate import normalize_text
 from ocr_auto_label_spark.labelcore.confusion import best_correction
@@ -51,6 +52,27 @@ class Candidate:
     rank: int = 0
 
 
+@lru_cache(maxsize=1 << 16)
+def analyze_token(token: str) -> tuple[str, str, int, str | None, float, float] | None:
+    """Steps 2-5 for one raw token: (label, pattern_id, corrections,
+    canonical, canonical_sim, confidence), or None if noise.
+
+    Pure function of the token string → memoized per executor process;
+    label tokens repeat heavily in real transcripts (a finite sample-ID
+    universe), so the common case collapses to a dict hit.
+    """
+    norm = normalize_code(token)
+    corrected = best_correction(norm)
+    if corrected is None:
+        return None  # classified noise
+    label, edits, pattern_id = corrected
+    canon, sim = canonical_match(label)
+    conf = confidence(True, sim, edits)
+    if conf <= NOISE_THRESHOLD:
+        return None
+    return label, pattern_id, edits, canon, sim, conf
+
+
 def scan_candidates(raw: str | None, source_col: str) -> list[Candidate]:
     """Steps 1-5 on one source string (unranked)."""
     if not raw:
@@ -58,15 +80,10 @@ def scan_candidates(raw: str | None, source_col: str) -> list[Candidate]:
     out: list[Candidate] = []
     for m in TOKEN_RE.finditer(raw):
         token = m.group(0)
-        norm = normalize_code(token)
-        corrected = best_correction(norm)
-        if corrected is None:
-            continue  # classified noise
-        label, edits, pattern_id = corrected
-        canon, sim = canonical_match(label)
-        conf = confidence(True, sim, edits)
-        if conf <= NOISE_THRESHOLD:
+        analyzed = analyze_token(token)
+        if analyzed is None:
             continue
+        label, pattern_id, edits, canon, sim, conf = analyzed
         out.append(Candidate(
             label=label, raw=token, begin=m.start(), end=m.end(),
             source_col=source_col, pattern_id=pattern_id, corrections=edits,

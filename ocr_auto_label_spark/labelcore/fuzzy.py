@@ -10,6 +10,8 @@ the same blocking key with ``F.levenshtein`` on the broadcast dim table.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from ocr_auto_label_spark.labelcore.canonical import canonical_blocks, canonical_label_set
 
 
@@ -40,6 +42,31 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     return prev[lb]
 
 
+def _within_one_edit(a: str, b: str) -> bool:
+    """Exact O(n) test for levenshtein(a, b) == 1 given a != b.
+
+    The DP above is ~100× slower for the common cap=1 case (the fuzzy
+    join's max_distance), which profiling shows dominates extraction time.
+    """
+    la, lb = len(a), len(b)
+    if la == lb:  # exactly one substitution
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return False
+        return diff == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:  # one insertion into the shorter
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 def trigrams(s: str) -> set[str]:
     padded = f"##{s}##"
     return {padded[i:i + 3] for i in range(len(padded) - 2)}
@@ -53,6 +80,7 @@ def trigram_similarity(a: str, b: str) -> float:
     return inter / (len(ta) + len(tb) - inter)
 
 
+@lru_cache(maxsize=1 << 16)
 def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, float]:
     """(matched canonical label, similarity in [0,1]).
 
@@ -60,6 +88,10 @@ def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, floa
     ``max_distance`` edits inside the blocking bucket, scored by trigram
     Jaccard; ties broken by (distance asc, trigram sim desc, label asc)
     for full determinism.  No match → (None, 0.0).
+
+    Pure function of its arguments → safe to memoize; real corpora repeat
+    the same few thousand labels, so the per-executor-process cache turns
+    the fuzzy pass into a dict lookup for the common case.
     """
     if label in canonical_label_set():
         return label, 1.0
@@ -67,7 +99,10 @@ def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, floa
     bucket = canonical_blocks().get((segs[0], len(segs)), ())
     best: tuple[int, float, str] | None = None
     for canon in bucket:
-        d = levenshtein(label, canon, cap=max_distance)
+        if max_distance == 1:  # exact fast path (see _within_one_edit)
+            d = 1 if _within_one_edit(label, canon) else 2
+        else:
+            d = levenshtein(label, canon, cap=max_distance)
         if d > max_distance:
             continue
         sim = trigram_similarity(label, canon)

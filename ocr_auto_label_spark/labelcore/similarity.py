@@ -18,6 +18,7 @@ Exact ports of the reference semantics (quirks included):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 TIME_WINDOW_MS = 2 * 60 * 1000  # grouping.ts:123
 ACCEPT_THRESHOLD = 0.35         # grouping.ts:201
@@ -41,22 +42,35 @@ COLOR_SYNONYMS: tuple[tuple[str, ...], ...] = (
 )
 
 
+@lru_cache(maxsize=1 << 14)
+def _tokenized(text_lower: str) -> tuple[tuple[str, ...], frozenset[str]]:
+    """Memoized tokenization — the grouping fold scores every candidate
+    pair, so each description is tokenized O(neighborhood) times."""
+    words = tuple(_WS_SPLIT.split(text_lower))
+    return words, frozenset(words)
+
+
 def text_similarity(text1: str | None, text2: str | None) -> float:
-    """grouping.ts:309-324 — duplicate-counting word overlap."""
+    """grouping.ts:309-324 — duplicate-counting word overlap.
+
+    Membership in a set is semantically identical to the reference's
+    ``words2.includes(w)`` (each words1 occurrence still counts once)."""
     if not text1 or not text2:
         return 0.0
-    words1 = _WS_SPLIT.split(text1.lower())
-    words2 = _WS_SPLIT.split(text2.lower())
-    matches = sum(1 for w in words1 if w in words2)
+    words1, _ = _tokenized(text1.lower())
+    words2, set2 = _tokenized(text2.lower())
+    matches = sum(1 for w in words1 if w in set2)
     return matches / max(len(words1), len(words2))
 
 
+@lru_cache(maxsize=1 << 12)
 def normalize_color(color: str) -> str:
     """grouping.ts:266-271."""
     c = _INTENSITY.sub("", color.lower())
     return _MULTI_WS.sub(" ", c).strip()
 
 
+@lru_cache(maxsize=1 << 14)
 def colors_are_similar(color1: str, color2: str) -> bool:
     """grouping.ts:264-304."""
     n1, n2 = normalize_color(color1), normalize_color(color2)

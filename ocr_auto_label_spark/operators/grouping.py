@@ -71,15 +71,22 @@ def sequential_group_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         row["colors"] = _as_list(row.get("colors"))
         row["desc"] = _as_str(row.get("desc"))
         row["group"] = _as_str(row.get("group"))
+    # rows are ts-sorted, so the ±window candidate set is the contiguous
+    # slice [lo, hi) — bisect bounds turn the fold from O(n²) into
+    # O(n·window_density) without changing iteration order (same
+    # subsequence, same ts-ascending visit order → identical tie-breaks)
+    from bisect import bisect_left, bisect_right
+
+    ts_sorted = [r["ts_ms"] for r in rows]
     # iterate targets in ascending timestamp (grouping.ts:33-38)
     for row in rows:
         if row["status"] not in _TARGET_STATUSES:
             continue
         best_score, best_group = 0.0, None
-        for cand in rows:
+        lo = bisect_left(ts_sorted, row["ts_ms"] - TIME_WINDOW_MS)
+        hi = bisect_right(ts_sorted, row["ts_ms"] + TIME_WINDOW_MS)
+        for cand in rows[lo:hi]:
             if cand["id"] == row["id"]:
-                continue
-            if abs(cand["ts_ms"] - row["ts_ms"]) > TIME_WINDOW_MS:
                 continue
             if cand["group"] is None or cand["status"] not in _SOURCE_STATUSES:
                 continue
@@ -121,10 +128,16 @@ def with_time_clusters(
     return df.withColumn("__cluster", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
 
 
+def _fold_keyed_batch(pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """Fold every key's rows inside one bucket (deterministic key order)."""
+    outs = [sequential_group_cluster(g) for _, g in pdf.groupby(key_cols, sort=True)]
+    return pd.concat(outs, ignore_index=True)
+
+
 def auto_group(
     df: DataFrame,
     key_cols: list[str] | None = None,
-    fold_buckets: int = 64,
+    fold_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed auto-grouping via applyInPandas(sequential fold).
 
@@ -137,22 +150,38 @@ def auto_group(
     folding each cluster separately equals the reference's global
     sequential pass.  Two physical shapes follow:
 
-    - with ``key_cols`` (e.g. conv_id): one pandas group per key — no
-      clustering pass needed, the per-key fold is already exact.
+    - with ``key_cols`` (e.g. conv_id): keys are hashed into
+      ``fold_buckets`` batches and each key folds independently inside
+      its bucket — exact, and the batching amortizes per-group Arrow
+      overhead over many small keys.
     - global (reference semantics, no keys): session-cluster first, then
-      **batch whole clusters** into ``fold_buckets`` groups via
-      pmod(cluster, buckets).  Batching keeps the number of pandas
-      invocations bounded (per-group Arrow overhead dominates with
-      thousands of tiny clusters) without changing results.
+      batch whole clusters via pmod(cluster, buckets).
+
+    Physical note: the bucket column is pinned with an explicit
+    ``repartition(n, bucket)`` — a user repartition AQE will not coalesce.
+    Letting AQE size this stage by shuffle *bytes* collapses the
+    Python-heavy fold to one task (pandas work is CPU-bound per row, not
+    byte-bound), serializing the whole operator.
     """
+    spark = df.sparkSession
+    n = fold_buckets or max(spark.sparkContext.defaultParallelism * 4, 16)
     if key_cols:
-        return df.groupBy(*key_cols).applyInPandas(
-            lambda pdf: sequential_group_cluster(pdf), schema=GROUPED_SCHEMA
+        bucketed = df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
+        )
+        return (
+            bucketed.repartition(n, "__bucket")
+            .groupBy("__bucket")
+            .applyInPandas(
+                lambda pdf: _fold_keyed_batch(pdf, key_cols), schema=GROUPED_SCHEMA
+            )
         )
     clustered = with_time_clusters(df)
     bucketed = clustered.withColumn(
-        "__bucket", F.pmod(F.col("__cluster"), F.lit(fold_buckets))
+        "__bucket", F.pmod(F.col("__cluster"), F.lit(n))
     )
-    return bucketed.groupBy("__bucket").applyInPandas(
-        lambda pdf: sequential_group_cluster(pdf), schema=GROUPED_SCHEMA
+    return (
+        bucketed.repartition(n, "__bucket")
+        .groupBy("__bucket")
+        .applyInPandas(lambda pdf: sequential_group_cluster(pdf), schema=GROUPED_SCHEMA)
     )
