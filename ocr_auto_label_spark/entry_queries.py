@@ -386,6 +386,40 @@ def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_group(frame, key_cols=["user_id"])
 
 
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (ordered CSV export + summary sidecar) → S9 (multi-CSV scan):
+    the export/notebook boundary exercised end-to-end."""
+    import tempfile
+
+    from ocr_auto_label_spark.io.sources import export_csv, read_csv_multi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", F.array("lang", "source").alias("tags")
+    )
+    base = tempfile.mkdtemp(prefix="csv_rt_")
+    export_csv(docs, base, order_cols=["doc_id"], single_file=True)
+    back = read_csv_multi(spark, [f"{base}/csv"])
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("tags")).alias("tag_json_chars"),
+    )
+
+
+def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: availableNow incremental ingest → watermarked tumbling-window
+    label-hit counts, drained to parquet and returned as a DataFrame."""
+    import tempfile
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.streaming.pipeline import run_windowed_counts
+
+    inp = transcripts_parquet(2_000)
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    q = run_windowed_counts(spark, inp, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def _infer_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass ±9-row inference (J2/W4/W5) on a documents-derived frame:
     even doc_ids are labeled sources; odd ones inherit via desc+color match."""
@@ -789,6 +823,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
         None,
     ),
+    # --- sinks/sources roundtrip (writes temp files; rows-only check) ---
+    "s8_s9_csv_roundtrip": (_csv_roundtrip, None),
+    # --- structured streaming (availableNow drain; not SQL-expressible) ---
+    "streaming_windowed_counts": (_streaming_windowed_counts, None),
     # --- stateful grouping (sequential-transitive fold) ---
     "auto_group_transitive": (_auto_group_events, None),
     # --- snapshot inference (±9-row window + Arrow matching UDF) ---

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_auto_label_spark.operators.util import ensure_parallelism
+
 
 def char_shingles(col_name: str, width: int = 3) -> Column:
     """Distinct character ``width``-gram shingle array (JVM-side)."""
@@ -59,7 +61,7 @@ def jaccard_pairs(
     |A∩B| / |A∪B| over distinct shingles.  Output:
     (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    base = df.select(
+    base = ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         char_shingles(text_col, shingle_width).alias("sh"),
@@ -67,13 +69,24 @@ def jaccard_pairs(
     a = base.alias("a")
     b = base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    pairs = a.join(b, cond, "inner").filter(F.col("a.id") < F.col("b.id"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.join(b, cond, "inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+    )
+    # spread the scoring stage by pair id: block keys can be few/hot, and
+    # the set-intersection per pair is the expensive part (see similarity)
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a", "id_b",
             F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -97,7 +110,7 @@ def minhash_signatures(
     whole-stage codegen with map-side partial aggregation; the
     nested-lambda formulation (transform ∘ array_min ∘ transform) runs
     interpreted at ~1µs/hash and is ~10× slower."""
-    exploded = df.select(
+    exploded = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(text_col, shingle_width)).alias("sh"),
     )
@@ -177,13 +190,16 @@ def minhash_lsh_dedup(
     )
     # estimator slack: keep anything within ~2σ of the threshold
     survivors = with_sigs.filter(est >= threshold - 0.15).select("id_a", "id_b")
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, shingle_width).alias("sh")
     )
     joined = (
         survivors
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    joined = joined.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_auto_label_spark.operators.util import ensure_parallelism
+
 
 def dot(a: str, b: str) -> Column:
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)")
@@ -41,7 +43,7 @@ def brute_force_topk(
     the scan stays narrow and the only wide step is the global top-k
     (TakeOrderedAndProject — no full sort shuffle)."""
     qlit = "array({})".format(",".join(f"cast({float(v)!r} as double)" for v in query_vec))
-    scored = df.select(
+    scored = ensure_parallelism(df).select(
         F.col(id_col),
         F.round(
             F.expr(
@@ -110,25 +112,35 @@ def cosine_neardup_pairs(
 
     Blocking keys (e.g. a cluster label or LSH signature) keep the join
     equi-join-shaped; at scale pass ``hyperplane_signature`` as a block col."""
-    base = df.select(
+    # parallelism comes from the *probe* side: with the build side hash-
+    # joined (broadcast for small dims), the pair/scoring stage inherits
+    # the probe side's partitioning — so spread the probe, not the pairs
+    # (repartitioning pairs would shuffle two vectors per pair).  Hot
+    # blocks under a shuffle join are AQE skew-join territory.
+    base = ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    pairs = a.join(b, cond).filter(F.col("a.id") < F.col("b.id"))
+    pairs = (
+        a.join(b, cond)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+    )
     cos = F.round(
         F.expr(
-            "aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
-            " / (sqrt(aggregate(a.v, 0D, (s, v) -> s + cast(v as double) * v))"
-            " * sqrt(aggregate(b.v, 0D, (s, v) -> s + cast(v as double) * v)))"
+            "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(va, 0D, (s, v) -> s + cast(v as double) * v))"
+            " * sqrt(aggregate(vb, 0D, (s, v) -> s + cast(v as double) * v)))"
         ),
         6,
     )
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
-        )
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
