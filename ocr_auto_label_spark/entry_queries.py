@@ -234,6 +234,12 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes"))
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.multimodal import resize_metadata, synth_media
+
+    return resize_metadata(synth_media(spark, n=120))
+
+
 # ------------------------------------------------------ operator-backed
 
 def _sf_turns(sf_dir: str) -> int:
@@ -813,6 +819,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- multimodal (binary payload + typed metadata; codec stubbed) ---
     "multimodal_features": (_multimodal_features, None),
     "multimodal_frame_sample": (_multimodal_frames, None),
+    "multimodal_resize": (_multimodal_resize, None),
     # --- extraction core (Arrow UDFs: not SQL-expressible) ---
     "extract_flagship": (_extract_flagship, None),
     "extract_best_labels": (_extract_best_labels, None),

@@ -121,6 +121,38 @@ def minhash_signatures(
     return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def optimal_bands(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose S-curve best matches ``threshold``.
+
+    Standard LSH tuning (cf. Leskovec/Rajaraman/Ullman ch.3, datasketch's
+    ``_optimal_param``): for each divisor pair (b, r) with b·r = k, the
+    candidate probability at similarity s is 1-(1-s^r)^b; minimize the
+    integrated false-positive mass below the threshold plus false-negative
+    mass above it.  A fixed (b, r) tuned for one threshold either floods
+    the verifier with candidates (t* ≪ threshold on a dense corpus) or
+    silently drops true pairs (t* ≫ threshold).
+    """
+    import math
+
+    best_b, best_err = num_hashes, math.inf
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        steps = 100
+        fp = sum(
+            1 - (1 - (threshold * i / steps) ** r) ** b for i in range(steps)
+        ) * threshold / steps
+        fn = sum(
+            1 - (1 - (1 - (threshold + (1 - threshold) * i / steps) ** r) ** b)
+            for i in range(steps)
+        ) * (1 - threshold) / steps
+        err = fp * 0.5 + fn * 0.5
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -166,11 +198,16 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     threshold: float = 0.5,
     shingle_width: int = 5,
 ) -> DataFrame:
     """LSH candidates → cheap signature-estimate prefilter → exact Jaccard.
+
+    ``bands=None`` (default) tunes the banding to the threshold via
+    ``optimal_bands`` — the S-curve midpoint lands near the threshold, so
+    candidate volume stays bounded on vocabulary-dense corpora instead of
+    degenerating toward all-pairs.
 
     Two-stage verification is what survives skewed corpora: a vocabulary-
     dense corpus makes LSH buckets collide far below the threshold, and
@@ -178,6 +215,8 @@ def minhash_lsh_dedup(
     compares per pair) becomes the bottleneck.  The signature estimate
     (mean of 32 long equalities via zip_with) is ~two orders cheaper and
     prunes sub-threshold candidates before the exact pass."""
+    if bands is None:
+        bands = optimal_bands(num_hashes, threshold)
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width)
     with_sigs = (
