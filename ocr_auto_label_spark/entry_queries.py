@@ -355,6 +355,13 @@ def _embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10, bits=4)
 
 
+def _embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
+
+
 def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.similarity import cosine_neardup_pairs
 
@@ -801,6 +808,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
     "embed_cosine_topk_lsh": (_embed_topk_lsh, None),  # single-probe ANN: recall<1 by design
+    "embed_cosine_topk_ivf": (_embed_topk_ivf, None),  # nprobe<n_centroids: recall<1 by design
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
     # --- training-data ops: text analysis ---
     "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ocr_auto_label_spark.operators.util import ensure_parallelism
 
@@ -99,6 +99,72 @@ def lsh_bucketed_topk(
     qsig = qdf.select(hyperplane_signature(vec_col, bits, dim).alias("s")).collect()[0].s
     bucket = df.filter(sig == F.lit(qsig))
     return brute_force_topk(bucket, query_vec, k, vec_col, id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: deterministic centroids + cluster assignment.
+
+    Centroids are the ``n_centroids`` vectors with the smallest
+    ``xxhash64(id)`` — a deterministic pseudo-random sample (no RNG, same
+    centroids on every run/cluster).  Assignment is a broadcast join of
+    the tiny centroid table + per-row argmax cosine — one narrow pass over
+    the data, O(n_centroids) work per row.  Returns (df + ``ivf_cluster``,
+    centroid list) — the build side of an IVF index; at 10^9 vectors the
+    assignment is the only full-data pass and partitioning the output by
+    ``ivf_cluster`` makes every probe a partition-pruned scan.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        F.xxhash64(F.col(id_col)).alias("h"),
+    )
+    rows = hashed.orderBy("h", "cid").limit(n_centroids).collect()
+    centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(rows)]
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, v) for i, v in centroids], "c_id: int, c_vec: array<double>"
+    )
+    scored = ensure_parallelism(df).join(F.broadcast(cent_df))
+    cos = F.expr(
+        f"aggregate(zip_with({vec_col}, c_vec, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+        f" / (sqrt(aggregate({vec_col}, 0D, (s, v) -> s + cast(v as double) * v))"
+        " * sqrt(aggregate(c_vec, 0D, (s, v) -> s + v * v)))"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
+    assigned = (
+        scored.withColumn("c_cos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*df.columns, F.col("c_id").alias("ivf_cluster"))
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via IVF: probe the ``nprobe`` nearest centroid cells, exact
+    re-score inside them.  Driver picks the probe cells with numpy (the
+    centroid table is tiny); recall grows with nprobe (nprobe ==
+    n_centroids is exhaustive = brute force)."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(df, n_centroids, vec_col, id_col)
+    q = np.asarray([float(v) for v in query_vec])
+    cmat = np.asarray([v for _, v in centroids])
+    sims = (cmat @ q) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [centroids[i][0] for i in np.argsort(-sims)[:nprobe]]
+    cell = assigned.filter(F.col("ivf_cluster").isin(probes))
+    return brute_force_topk(cell, [float(v) for v in query_vec], k, vec_col, id_col)
 
 
 def cosine_neardup_pairs(

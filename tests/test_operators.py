@@ -182,3 +182,26 @@ def test_duplicate_name_resolution(spark):
     df2 = spark.createDataFrame([(k, v, i, "G", "x.jpg") for i, (k, v) in enumerate(resolved.items())],
                                 "id: string, new_name: string, created_at: long, group: string, original_name: string")
     assert find_duplicate_names(df2).count() == 0
+
+
+def test_ivf_topk_recall_and_determinism(spark, vectors):
+    from ocr_auto_label_spark.operators.similarity import ivf_assign, ivf_topk
+
+    pdf = vectors.toPandas()
+    q = list(pdf.embedding[0])
+    # exhaustive probing == brute force (recall 1 by construction)
+    full = [r.vec_id for r in
+            ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=4).collect()]
+    brute = [r.vec_id for r in brute_force_topk(vectors, q, k=3).collect()]
+    assert full == brute
+    # single-probe: the query's own cell contains it → self always found
+    one = [r.vec_id for r in
+           ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=1).collect()]
+    assert 0 in one
+    # deterministic centroids and assignment across invocations
+    a1, c1 = ivf_assign(vectors, n_centroids=4)
+    a2, c2 = ivf_assign(vectors, n_centroids=4)
+    assert c1 == c2
+    m1 = {r.vec_id: r.ivf_cluster for r in a1.collect()}
+    m2 = {r.vec_id: r.ivf_cluster for r in a2.collect()}
+    assert m1 == m2
