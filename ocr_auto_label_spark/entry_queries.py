@@ -433,6 +433,32 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/out")
 
 
+def _streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: applyInPandasWithState — running per-conv extraction totals
+    accumulated across microbatches; returns the final totals per conv."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.streaming.stateful import run_conv_running_totals
+
+    inp = transcripts_parquet(2_000)
+    name = f"conv_totals_{uuid.uuid4().hex[:8]}"
+    q = run_conv_running_totals(
+        spark, inp, tempfile.mkdtemp(prefix="state_q_"), query_name=name
+    )
+    q.awaitTermination()
+    updates = spark.table(name)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turns"))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("conv_id", "turns", "turns_with_label")
+    )
+
+
 def _infer_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass ±9-row inference (J2/W4/W5) on a documents-derived frame:
     even doc_ids are labeled sources; odd ones inherit via desc+color match."""
@@ -578,6 +604,22 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT event_id, row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) AS turn_rank FROM events",
         "same",
+    ),
+    "w8_session_window": (
+        # ±2-min proximity clustering (grouping.ts:123-125) as Spark's
+        # native session_window; oracle = classic gaps-and-islands.  Both
+        # break a session when the gap to the previous event is ≥ 120 s
+        # (session windows [t, t+gap) merge iff they overlap).
+        "SELECT user_id, date_format(session_window.start, 'yyyy-MM-dd HH:mm:ss') "
+        "AS sess_start, count(*) AS turns FROM events "
+        "GROUP BY user_id, session_window(ts, '120 seconds')",
+        "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) >= 120 THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, "
+        "count(*) AS turns FROM i GROUP BY user_id, sess",
     ),
     "w4_most_recent_pick": (
         "WITH ranked AS (SELECT user_id, event_id, "
@@ -842,6 +884,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "s8_s9_csv_roundtrip": (_csv_roundtrip, None),
     # --- structured streaming (availableNow drain; not SQL-expressible) ---
     "streaming_windowed_counts": (_streaming_windowed_counts, None),
+    "streaming_stateful_totals": (_streaming_stateful_totals, None),
     # --- stateful grouping (sequential-transitive fold) ---
     "auto_group_transitive": (_auto_group_events, None),
     # --- snapshot inference (±9-row window + Arrow matching UDF) ---

@@ -59,3 +59,48 @@ def test_export_csv_roundtrip(spark, tmp_path):
     rows = {r.name: r for r in back.collect()}
     assert rows["a"].tags == '["x","y"]'  # nested serialized at the boundary only
     assert os.path.exists(f"{out_dir}/export-summary.json")
+
+
+def test_stateful_conv_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState totals across microbatches == batch groupBy.
+
+    The input dir is written as several files with maxFilesPerTrigger=8,
+    so availableNow processes multiple microbatches and the keyed state
+    genuinely accumulates across them."""
+    import pyspark.sql.functions as F
+
+    from ocr_auto_label_spark.datagen import generate_transcripts
+    from ocr_auto_label_spark.plans.extraction_pipeline import extract_turns
+    from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
+    from ocr_auto_label_spark.streaming.stateful import run_conv_running_totals
+
+    pdf = generate_transcripts(600, seed=9)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(4):  # 4 files -> >1 microbatch at maxFilesPerTrigger=8? use 1-file batches
+        part = pdf.iloc[i * 150:(i + 1) * 150]
+        spark.createDataFrame(part.astype(object), TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(inp))
+
+    q = run_conv_running_totals(spark, str(inp), str(tmp_path / "ckpt"), "t_conv_totals")
+    q.awaitTermination()
+    updates = spark.sql("SELECT * FROM t_conv_totals").toPandas()
+    # final total per conv = max turns row (updates are monotone)
+    final = updates.sort_values("turns").groupby("conv_id").last()
+
+    batch = extract_turns(
+        spark.createDataFrame(pdf.astype(object), TRANSCRIPT_SCHEMA)
+    ).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum((F.size("candidates") > 0).cast("long")).alias("turns_with_label"),
+    ).toPandas().set_index("conv_id")
+
+    assert set(final.index) == set(batch.index)
+    for cid in batch.index:
+        assert final.loc[cid, "turns"] == batch.loc[cid, "turns"], cid
+        assert final.loc[cid, "turns_with_label"] == batch.loc[cid, "turns_with_label"], cid
+
+    # plan audit: Arrow grouped-state map, no per-row Python
+    from ocr_auto_label_spark.streaming.stateful import conv_running_totals
+    plan = conv_running_totals(spark, str(inp))._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
