@@ -34,11 +34,13 @@ BENCH_QUERIES = [
     "j1_time_range_self_join",
     "w1_ordinal_naming",
     "w5_sliding_frame_avg",
+    "w8_session_window",
     "a6_ordered_distinct_union",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "embed_cosine_topk",
+    "embed_cosine_topk_ivf",
     "embed_neardup_pairs",
     "text_quality_stats",
     "text_language_id",
