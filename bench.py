@@ -128,8 +128,11 @@ def main() -> None:
         sys.exit(f"error: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true",
-                   help="additionally measure local[8] vs local[32] scaling")
+                   help="(kept for compatibility; scaling now runs by default)")
+    p.add_argument("--no-scaling", action="store_true",
+                   help="skip the N vs 4N cores efficiency measurement")
     args = p.parse_args()
+    args.scaling = not args.no_scaling
 
     main_run = run_suite(f"local[{CPUS}]", max(CPUS, 32))
     out = {
