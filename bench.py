@@ -6,9 +6,9 @@ representative slice of the operator registry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Usage:
-    python bench.py                  # standard bench (driver contract)
-    python bench.py --scaling        # also run local[8] vs local[32]
-                                     # same-input scaling measurement
+    python bench.py                  # suite + N vs 4N scaling (default 2,8)
+    python bench.py --no-scaling     # suite only
+    SPARK_GRAFT_SCALE_PAIR=4,16 SPARK_GRAFT_SCALE_TURNS=800000 python bench.py
 
 Every query is materialized through the noop sink so Catalyst can't
 short-circuit column computation under count().
@@ -132,6 +132,8 @@ def main() -> None:
     p.add_argument("--no-scaling", action="store_true",
                    help="skip the N vs 4N cores efficiency measurement")
     args = p.parse_args()
+    if args.scaling and args.no_scaling:
+        p.error("--scaling and --no-scaling are mutually exclusive")
     args.scaling = not args.no_scaling
 
     main_run = run_suite(f"local[{CPUS}]", max(CPUS, 32))

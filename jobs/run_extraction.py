@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--wave-size", type=int, default=32)
     p.add_argument("--input-format", default="parquet")
+    p.add_argument("--salt-partitions", type=int, default=0,
+                   help="salted-repartition the input to N partitions before "
+                        "extraction — for inputs whose files are clustered by "
+                        "conv_id (hot conversations); 0 = narrow path")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -52,7 +56,7 @@ def main() -> None:
     summary = run_extraction_with_checkpoint(
         spark, input_path, args.output, args.lineage, args.run_id,
         n_buckets=args.n_buckets, wave_size=args.wave_size,
-        input_format=args.input_format,
+        input_format=args.input_format, salt_partitions=args.salt_partitions,
     )
     rows = spark.read.parquet(args.output).count()
     elapsed = time.time() - t0

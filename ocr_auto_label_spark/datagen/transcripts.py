@@ -173,7 +173,11 @@ def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spar
         os.remove(path)
     os.makedirs(base_dir, exist_ok=True)
     pdf = generate_transcripts(n_turns, seed)
-    tmp = path + ".tmp"
+    # writer-private tmp dir: concurrent callers must not share one
+    # (os.rename of a dir cannot overwrite an existing non-empty target,
+    # so exactly one writer wins; losers discard their copy — the content
+    # is deterministic, so any winner's output is identical)
+    tmp = f"{path}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     chunk = 25_000
     n_files = max(1, -(-len(pdf) // chunk))
@@ -183,5 +187,12 @@ def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spar
             os.path.join(tmp, f"part-{i:05d}.parquet"),
             index=False, row_group_size=8192,
         )
-    os.replace(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.isdir(path):  # lost the race some other way — re-raise
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return path

@@ -261,9 +261,12 @@ def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Narrow path, zero shuffles: per-turn extraction needs no repartition —
     # scan parallelism comes from the (multi-file) table layout, exactly as
-    # on a real Iceberg table.  Salted repartitioning (north_star) is
-    # applied where it matters: ahead of the *wide* ops in full_pipeline_e1
-    # and the lineage-bucketed job, where hot conv_ids would skew shuffles.
+    # on a real Iceberg table.  Salted repartitioning (north_star) is an
+    # explicit primitive (plans.extraction_pipeline.salted_repartition,
+    # exposed as jobs/run_extraction.py --salt-partitions) for inputs whose
+    # files are clustered by conv_id; the sequential-transitive fold cannot
+    # be salted (a conversation must fold whole), so hot-conv folds rely on
+    # session-cluster containment instead (operators/grouping.py).
     flat = extract_candidates_flat(_synthetic_transcripts(spark, sf_dir))
     return flat.select(
         "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",

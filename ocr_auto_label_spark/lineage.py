@@ -80,8 +80,14 @@ def run_extraction_with_checkpoint(
     n_buckets: int = 64,
     wave_size: int = 32,
     input_format: str = "parquet",
+    salt_partitions: int = 0,
 ) -> dict:
-    """Resumable flagship job.  Returns summary counters."""
+    """Resumable flagship job.  Returns summary counters.
+
+    ``salt_partitions > 0`` salted-repartitions each wave before the
+    extraction UDF — for inputs whose files are clustered by conv_id
+    (north_star hot-conversation skew); the default narrow path relies on
+    the table's own file-split parallelism."""
     df = with_part_bucket(spark.read.format(input_format).load(input_path), n_buckets)
     done = completed_buckets(spark, lineage_path, run_id)
     todo = sorted(set(range(n_buckets)) - done)
@@ -89,6 +95,10 @@ def run_extraction_with_checkpoint(
     for wave_start in range(0, len(todo), wave_size):
         wave = todo[wave_start:wave_start + wave_size]
         wave_df = df.filter(F.col("part_bucket").isin(wave))
+        if salt_partitions:
+            from ocr_auto_label_spark.plans.extraction_pipeline import salted_repartition
+
+            wave_df = salted_repartition(wave_df, salt_partitions)
         result = extract_turns(wave_df)
         (
             result.write.mode("overwrite")

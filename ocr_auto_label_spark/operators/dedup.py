@@ -69,6 +69,12 @@ def jaccard_pairs(
     a = base.alias("a")
     b = base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    # scoring parallelism comes from the probe side (ensure_parallelism
+    # above) — with the build side broadcast/AQE-handled, the pair stage
+    # inherits `a`'s partitioning.  Repartitioning the pair stream would
+    # shuffle two full shingle arrays per pair and pin the stage's
+    # partition count; hot blocks under a shuffle join are AQE skew-join
+    # territory (spark.sql.adaptive.skewJoin.enabled, session.py).
     pairs = (
         a.join(b, cond, "inner")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -76,11 +82,6 @@ def jaccard_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
         )
-    )
-    # spread the scoring stage by pair id: block keys can be few/hot, and
-    # the set-intersection per pair is the expensive part (see similarity)
-    pairs = pairs.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -236,9 +237,6 @@ def minhash_lsh_dedup(
         survivors
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
-    joined = joined.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

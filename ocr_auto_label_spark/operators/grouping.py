@@ -129,8 +129,16 @@ def with_time_clusters(
 
 
 def _fold_keyed_batch(pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
-    """Fold every key's rows inside one bucket (deterministic key order)."""
-    outs = [sequential_group_cluster(g) for _, g in pdf.groupby(key_cols, sort=True)]
+    """Fold every key's rows inside one bucket (deterministic key order).
+
+    ``dropna=False``: null keys form a group of their own, matching
+    Spark's groupBy semantics — pandas' default would silently drop those
+    rows (and an all-null bucket would make pd.concat crash on []).
+    """
+    outs = [
+        sequential_group_cluster(g)
+        for _, g in pdf.groupby(key_cols, sort=True, dropna=False)
+    ]
     return pd.concat(outs, ignore_index=True)
 
 

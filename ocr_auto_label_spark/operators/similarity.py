@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ocr_auto_label_spark.operators.util import ensure_parallelism
 
@@ -118,27 +118,42 @@ def ivf_assign(
     assignment is the only full-data pass and partitioning the output by
     ``ivf_cluster`` makes every probe a partition-pruned scan.
     """
+    import math
+
     hashed = df.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
         F.xxhash64(F.col(id_col)).alias("h"),
     )
     rows = hashed.orderBy("h", "cid").limit(n_centroids).collect()
     centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(rows)]
-    cent_df = df.sparkSession.createDataFrame(
-        [(i, v) for i, v in centroids], "c_id: int, c_vec: array<double>"
+    # assignment is purely per-row, so fold the (tiny) centroid table into
+    # the plan as a literal array and argmax with one narrow expression —
+    # a cross join + ranking window would multiply the data n_centroids×
+    # and shuffle it all just to keep one row per id
+    cent_items = ", ".join(
+        "named_struct('c_id', {i}, 'c_vec', array({vals}), 'c_norm', cast({n!r} as double))"
+        .format(
+            i=i,
+            vals=", ".join(f"cast({x!r} as double)" for x in v),
+            n=math.sqrt(sum(x * x for x in v)),
+        )
+        for i, v in centroids
     )
-    scored = ensure_parallelism(df).join(F.broadcast(cent_df))
-    cos = F.expr(
-        f"aggregate(zip_with({vec_col}, c_vec, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
-        f" / (sqrt(aggregate({vec_col}, 0D, (s, v) -> s + cast(v as double) * v))"
-        " * sqrt(aggregate(c_vec, 0D, (s, v) -> s + v * v)))"
+    # strict > keeps the first (lowest c_id) on score ties — deterministic;
+    # the epsilon keeps zero vectors at score 0 instead of NaN
+    best = (
+        f"aggregate(array({cent_items}), named_struct('s', cast(-2.0 as double), 'cid', -1), "
+        "(acc, c) -> if("
+        f"  aggregate(zip_with({vec_col}, c.c_vec, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+        "   / (__ivf_vn * c.c_norm + 1e-300) > acc.s, "
+        f"  named_struct('s', aggregate(zip_with({vec_col}, c.c_vec, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
+        "    / (__ivf_vn * c.c_norm + 1e-300), 'cid', c.c_id), acc)).cid"
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
     assigned = (
-        scored.withColumn("c_cos", cos)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*df.columns, F.col("c_id").alias("ivf_cluster"))
+        ensure_parallelism(df)
+        .withColumn("__ivf_vn", norm(vec_col))
+        .withColumn("ivf_cluster", F.expr(best))
+        .drop("__ivf_vn")
     )
     return assigned, centroids
 

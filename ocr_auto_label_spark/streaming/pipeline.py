@@ -24,10 +24,12 @@ from ocr_auto_label_spark.plans.extraction_pipeline import extract_turns
 from ocr_auto_label_spark.schemas import TRANSCRIPT_SCHEMA
 
 
-def read_transcript_stream(spark: SparkSession, input_path: str) -> DataFrame:
+def read_transcript_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
 
@@ -86,6 +88,13 @@ def run_windowed_counts(
     output_path: str,
     checkpoint_path: str,
 ) -> StreamingQuery:
+    """Append-mode semantics: only windows the watermark has finalized are
+    written — windows newer than max(ts) − watermark stay in the state
+    store when the availableNow drain stops (they'd flush on the next
+    incremental run as more data arrives).  This is the deliberate
+    late-data contract, not an optimization: a window is emitted exactly
+    once, complete.  Consumers needing provisional tail windows should use
+    update mode into a mutable sink (see streaming/stateful.py)."""
     counts = windowed_label_counts(spark, input_path)
     return (
         counts.writeStream.format("parquet")

@@ -41,9 +41,13 @@ def _update_conv_totals(
     )
 
 
-def conv_running_totals(spark: SparkSession, input_path: str) -> DataFrame:
+def conv_running_totals(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """Streaming DF of running per-conv totals (update per microbatch)."""
-    turns = extract_turns(read_transcript_stream(spark, input_path))
+    turns = extract_turns(
+        read_transcript_stream(spark, input_path, max_files_per_trigger)
+    )
     return (
         turns.select("conv_id", "candidates")
         .groupBy("conv_id")
@@ -62,11 +66,12 @@ def run_conv_running_totals(
     input_path: str,
     checkpoint_path: str,
     query_name: str = "conv_totals",
+    max_files_per_trigger: int = 8,
 ):
     """Drain everything present (availableNow) into an in-memory table of
     per-batch updates; the LAST update per conv_id is the final total."""
     return (
-        conv_running_totals(spark, input_path)
+        conv_running_totals(spark, input_path, max_files_per_trigger)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")

@@ -114,3 +114,25 @@ def test_with_time_clusters_gap_semantics(spark):
     # gaps: a→b 100s (≤120s, same), b→c 121s (>120s, new), c→d new
     assert out["a"] == out["b"]
     assert out["c"] != out["b"] and out["d"] != out["c"]
+
+
+def test_auto_group_keeps_null_key_rows(spark):
+    """Null key_cols values must not be dropped (pandas groupby dropna
+    trap) — they form their own group, matching Spark groupBy semantics."""
+    from ocr_auto_label_spark.operators.grouping import auto_group
+
+    rows = [
+        ("a", None, 0, "g1", "extracted", "red box", ["red"], None),
+        ("b", None, 50_000, None, "pending_grouping", "red box", ["red"], None),
+        ("c", "k1", 0, "g2", "extracted", "blue box", ["blue"], None),
+        ("d", "k1", 50_000, None, "pending_grouping", "blue box", ["blue"], None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, user_id string, ts_ms long, group string, status string, "
+        "desc string, colors array<string>, grouping_confidence double",
+    )
+    out = {r.id: r for r in auto_group(df, key_cols=["user_id"]).collect()}
+    assert set(out) == {"a", "b", "c", "d"}  # nothing dropped
+    assert out["b"].group == "g1" and out["b"].status == "auto_grouped"
+    assert out["d"].group == "g2" and out["d"].status == "auto_grouped"

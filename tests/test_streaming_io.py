@@ -77,12 +77,17 @@ def test_stateful_conv_totals_match_batch(spark, tmp_path):
     pdf = generate_transcripts(600, seed=9)
     inp = tmp_path / "in"
     inp.mkdir()
-    for i in range(4):  # 4 files -> >1 microbatch at maxFilesPerTrigger=8? use 1-file batches
+    for i in range(4):
         part = pdf.iloc[i * 150:(i + 1) * 150]
         spark.createDataFrame(part.astype(object), TRANSCRIPT_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(str(inp))
 
-    q = run_conv_running_totals(spark, str(inp), str(tmp_path / "ckpt"), "t_conv_totals")
+    # max_files_per_trigger=1 forces one microbatch per file (4+ batches),
+    # so the keyed state genuinely accumulates across batches
+    q = run_conv_running_totals(
+        spark, str(inp), str(tmp_path / "ckpt"), "t_conv_totals",
+        max_files_per_trigger=1,
+    )
     q.awaitTermination()
     updates = spark.sql("SELECT * FROM t_conv_totals").toPandas()
     # final total per conv = max turns row (updates are monotone)
