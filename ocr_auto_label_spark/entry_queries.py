@@ -372,6 +372,21 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3)
 
 
+def _embed_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked by the hyperplane-LSH signature instead of a
+    label column — the composition that scales to unlabeled corpora
+    (blocking key is computed, not given)."""
+    from ocr_auto_label_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        hyperplane_signature,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "lsh_sig", hyperplane_signature("embedding", bits=6)
+    )
+    return cosine_neardup_pairs(emb, block_cols=["lsh_sig"], threshold=0.9)
+
+
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     return spark.sql(
@@ -855,6 +870,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "embed_cosine_topk_lsh": (_embed_topk_lsh, None),  # single-probe ANN: recall<1 by design
     "embed_cosine_topk_ivf": (_embed_topk_ivf, None),  # nprobe<n_centroids: recall<1 by design
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
+    "embed_neardup_lsh_blocked": (_embed_neardup_lsh_blocked, None),  # xxhash64 planes
     # --- training-data ops: text analysis ---
     "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),
     "text_language_id": (
