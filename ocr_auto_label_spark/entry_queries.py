@@ -417,6 +417,24 @@ def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_group(frame, key_cols=["user_id"])
 
 
+def _ordered_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/U5 exact notebook semantics: per-lang unique sources in
+    first-seen doc_id order + first non-empty scalar."""
+    from ocr_auto_label_spark.operators.merge_agg import (
+        first_non_null,
+        ordered_distinct_union,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    union = ordered_distinct_union(docs, "lang", "source", ["doc_id"]).select(
+        "lang", F.array_join("items", ";").alias("sources_in_order")
+    )
+    first = first_non_null(docs, "lang", "source", ["doc_id"]).select(
+        "lang", F.col("source").alias("first_source")
+    )
+    return union.join(first, "lang")
+
+
 def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (ordered CSV export + summary sidecar) → S9 (multi-CSV scan):
     the export/notebook boundary exercised end-to-end."""
@@ -705,6 +723,8 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "FROM orders GROUP BY o_custkey",
         "same",
     ),
+    # rows-only: DuckDB has no documented order-preserving list-distinct
+    "a6_exact_order_preserving_union": (_ordered_union_merge, None),
     "a6_ordered_distinct_union": (
         "SELECT lang, array_join(array_sort(collect_set(source)), ';') AS sources, "
         "count(*) AS cnt FROM documents GROUP BY lang",

@@ -205,3 +205,28 @@ def test_ivf_topk_recall_and_determinism(spark, vectors):
     m1 = {r.vec_id: r.ivf_cluster for r in a1.collect()}
     m2 = {r.vec_id: r.ivf_cluster for r in a2.collect()}
     assert m1 == m2
+
+
+def test_ordered_distinct_union_and_first_non_null(spark):
+    """A6/U5 exact semantics: unique + first-seen order (extend_unique) and
+    first non-empty scalar (merge), against a pandas oracle, invariant to
+    input partitioning."""
+    from ocr_auto_label_spark.operators.merge_agg import (
+        first_non_null,
+        ordered_distinct_union,
+    )
+
+    rows = [
+        ("g1", 3, "b", ""), ("g1", 1, "a", None), ("g1", 2, "b", "x"),
+        ("g1", 4, "a", "y"), ("g2", 1, "z", None), ("g2", 2, "z", " "),
+        ("g2", 3, "q", "w"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ord int, item string, v string") \
+        .repartition(7)  # scramble physical order
+
+    got = {r.g: list(r["items"]) for r in
+           ordered_distinct_union(df, "g", "item", ["ord"]).collect()}
+    assert got == {"g1": ["a", "b"], "g2": ["z", "q"]}
+
+    fv = {r.g: r.v for r in first_non_null(df, "g", "v", ["ord"]).collect()}
+    assert fv == {"g1": "x", "g2": "w"}
