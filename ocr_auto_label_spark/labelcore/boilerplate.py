@@ -28,8 +28,14 @@ _NAV_WORDS = (
     r"Back\s+to\s+top|Read\s+more|Follow\s+us"
 )
 
-# Ordered pipeline: (compiled pattern, replacement).  Order matters and is
-# part of the contract.
+_ENTITIES = {
+    "&nbsp;": " ", "&lt;": "<", "&gt;": ">",
+    "&quot;": '"', "&#39;": "'", "&amp;": "&",
+}
+
+# Ordered pipeline: (compiled pattern, replacement string or callable —
+# both forms behave identically under re.sub and pandas Series.str.replace).
+# Order matters and is part of the contract.
 NORMALIZE_STEPS: tuple[tuple[re.Pattern, str], ...] = (
     # 1. canonical newlines
     (re.compile(r"\r\n?"), "\n"),
@@ -39,13 +45,17 @@ NORMALIZE_STEPS: tuple[tuple[re.Pattern, str], ...] = (
     (re.compile(r"^[ \t]*```[A-Za-z0-9_-]*[ \t]*$", re.MULTILINE), ""),
     # 4. strip HTML-ish tags (incl. closing / self-closing), bounded length
     (re.compile(r"</?[A-Za-z][^<>]{0,127}>"), ""),
-    # 5. decode the common entities
-    (re.compile(r"&nbsp;"), " "),
-    (re.compile(r"&lt;"), "<"),
-    (re.compile(r"&gt;"), ">"),
-    (re.compile(r"&quot;"), '"'),
-    (re.compile(r"&#39;"), "'"),
-    (re.compile(r"&amp;"), "&"),
+    # 5. decode the common entities — one combined pass.  Equivalent to six
+    # sequential per-entity passes: no entity's replacement can create
+    # another entity token (each replacement is a bare character, and re.sub
+    # never rescans replaced text), so left-to-right single-scan and
+    # per-entity sequential application produce identical bytes; e.g.
+    # "&amp;lt;" → "&lt;" under both.  Covered by the normalize_text golden
+    # family tests.
+    (
+        re.compile(r"&(?:nbsp|lt|gt|quot|#39|amp);"),
+        lambda m: _ENTITIES[m.group(0)],
+    ),
     # 6. drop navigation-chrome lines (menus / link bars)
     (re.compile(
         rf"^[ \t]*(?:[|•·>*_-]+[ \t]*)?(?:(?:{_NAV_WORDS})[ \t]*(?:[|•·>*_-]+[ \t]*)?)+$",
