@@ -322,6 +322,15 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.7)
 
 
+def _dedup_minhash_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup, word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # word 3-shingles: the document-scale variant (~6× fewer shingles)
+    return minhash_lsh_dedup(docs, threshold=0.7, shingle_width=3,
+                             shingle_fn=word_shingles)
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.dedup import simhash64
 
@@ -513,6 +522,28 @@ def _infer_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return infer_groups(frame).select(
         "id", "group", "inferred_group", "grouping_confidence"
+    )
+
+
+def _infer_groups_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for J2/W5: the ±9-row window bounded per key (source) —
+    no global single-partition sort; each key's window sorts independently."""
+    from ocr_auto_label_spark.operators.inference import infer_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    palette = F.array(F.lit("#FF0000"), F.lit("#0000FF"), F.lit("#00FF00"), F.lit("#111111"))
+    frame = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source"),
+        F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                 F.lit(".jpg")).alias("original_name"),
+        (F.col("doc_id") * 1000).alias("ts_ms"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("g"), F.col("source"))).alias("group"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4)).alias("desc"),
+        F.array(F.element_at(palette, (F.col("doc_id") % 4 + 1).cast("int"))).alias("colors"),
+    )
+    return infer_groups(frame, key_cols=["source"]).select(
+        "id", "source", "group", "inferred_group", "grouping_confidence"
     )
 
 
@@ -884,6 +915,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     ),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
     "dedup_minhash_lsh": (_dedup_minhash, None),      # xxhash64: not in DuckDB
+    "dedup_minhash_word": (_dedup_minhash_word, None),  # xxhash64: not in DuckDB
     "dedup_simhash": (_dedup_simhash, None),          # xxhash64: not in DuckDB
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
@@ -928,6 +960,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "auto_group_transitive": (_auto_group_events, None),
     # --- snapshot inference (±9-row window + Arrow matching UDF) ---
     "infer_groups_snapshot": (_infer_groups_snapshot, None),
+    "infer_groups_keyed": (_infer_groups_keyed, None),
 }
 
 

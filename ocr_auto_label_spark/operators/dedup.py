@@ -30,6 +30,20 @@ def char_shingles(col_name: str, width: int = 3) -> Column:
     )
 
 
+def word_shingles(col_name: str, width: int = 3) -> Column:
+    """Distinct word ``width``-gram shingles (JVM-side).
+
+    The standard document-level alternative to character shingles: ~6×
+    fewer shingles per document (one per token instead of one per char),
+    so the minhash explode+agg touches ~6× fewer rows at equal recall for
+    document-scale near-dup detection."""
+    toks = f"split(lower(trim({col_name})), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {width - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {width}), ' ')))"
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash; keeps min id as canonical.
 
@@ -100,6 +114,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_width: int = 5,
+    shingle_fn=char_shingles,
 ) -> DataFrame:
     """(id, sig array<bigint>) — k-permutation MinHash.
 
@@ -113,7 +128,7 @@ def minhash_signatures(
     interpreted at ~1µs/hash and is ~10× slower."""
     exploded = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.explode(char_shingles(text_col, shingle_width)).alias("sh"),
+        F.explode(shingle_fn(text_col, shingle_width)).alias("sh"),
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
@@ -161,6 +176,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_width: int = 5,
+    shingle_fn=char_shingles,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-dup pairs.
 
@@ -170,7 +186,7 @@ def minhash_lsh_candidates(
     buckets).  Output: distinct (id_a, id_b) candidates, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width, shingle_fn)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -202,6 +218,7 @@ def minhash_lsh_dedup(
     bands: int | None = None,
     threshold: float = 0.5,
     shingle_width: int = 5,
+    shingle_fn=char_shingles,
 ) -> DataFrame:
     """LSH candidates → cheap signature-estimate prefilter → exact Jaccard.
 
@@ -218,8 +235,8 @@ def minhash_lsh_dedup(
     prunes sub-threshold candidates before the exact pass."""
     if bands is None:
         bands = optimal_bands(num_hashes, threshold)
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width, shingle_fn)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width, shingle_fn)
     with_sigs = (
         cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -231,7 +248,7 @@ def minhash_lsh_dedup(
     # estimator slack: keep anything within ~2σ of the threshold
     survivors = with_sigs.filter(est >= threshold - 0.15).select("id_a", "id_b")
     sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), char_shingles(text_col, shingle_width).alias("sh")
+        F.col(id_col).alias("id"), shingle_fn(text_col, shingle_width).alias("sh")
     )
     joined = (
         survivors
