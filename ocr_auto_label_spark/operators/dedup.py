@@ -177,6 +177,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_width: int = 5,
     shingle_fn=char_shingles,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-dup pairs.
 
@@ -184,9 +185,15 @@ def minhash_lsh_candidates(
     (band, band_hash).  Shuffle is O(rows·bands); the quadratic blowup is
     confined to genuinely colliding buckets (AQE skew-join splits hot
     buckets).  Output: distinct (id_a, id_b) candidates, id_a < id_b.
+
+    Pass a precomputed ``sig`` (from ``minhash_signatures``) to share the
+    signature build — the explode-all-shingles + k-min groupBy is the
+    dominant stage, and an identical subtree lets Spark's ReuseExchange
+    compute it once for every consumer in the same plan.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width, shingle_fn)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width, shingle_fn)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -235,8 +242,14 @@ def minhash_lsh_dedup(
     prunes sub-threshold candidates before the exact pass."""
     if bands is None:
         bands = optimal_bands(num_hashes, threshold)
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_width, shingle_fn)
+    # ONE signature build threaded through candidates AND the estimate
+    # prefilter: the identical subtree means Spark's ReuseExchange runs
+    # the explode+groupBy signature stage (the dominant cost) once, not
+    # twice — asserted in tests/test_physical_plans.py.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width, shingle_fn)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_width, shingle_fn, sig=sig
+    )
     with_sigs = (
         cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")

@@ -82,32 +82,91 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 13) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+class MediaCodec:
+    """Pluggable codec boundary: batch of payloads → (n, FEATURE_DIM)
+    float32 features.  Implementations must be picklable (they ship to
+    executors inside the mapInPandas closure) and pure (same bytes →
+    same features on every run/worker)."""
+
+    def decode_batch(self, payloads: pd.Series, media_types: pd.Series) -> np.ndarray:
+        raise NotImplementedError
+
+
+class DeterministicFakeCodec(MediaCodec):
+    """Environment-blocked stand-in: byte-derived reproducible features
+    with the exact contract shape a real decoder fills in."""
+
+    def decode_batch(self, payloads: pd.Series, media_types: pd.Series) -> np.ndarray:
+        out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, payload in enumerate(payloads):
+            digest = hashlib.sha256(bytes(payload)).digest()
+            out[i] = np.frombuffer(
+                digest[:FEATURE_DIM * 2], dtype=np.uint16
+            ).astype(np.float32) / 65535.0
+        return out
+
+
+class PillowImageCodec(MediaCodec):
+    """Real-image implementation slot: decodes with Pillow when available.
+    This container has no image libraries, so constructing it raises —
+    a Pillow-equipped build drops in without touching the Spark plumbing."""
+
+    def __init__(self) -> None:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "PillowImageCodec requires Pillow, which is not present in "
+                "this environment; use DeterministicFakeCodec"
+            ) from e
+
+    def decode_batch(self, payloads: pd.Series, media_types: pd.Series) -> np.ndarray:
+        import io
+
+        import PIL.Image
+
+        out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, payload in enumerate(payloads):
+            img = PIL.Image.open(io.BytesIO(bytes(payload))).convert("L")
+            thumb = np.asarray(img.resize((4, 4)), dtype=np.float32) / 255.0
+            out[i] = thumb.reshape(-1)[:FEATURE_DIM]
+        return out
+
+
 def decode_media_batch(payloads: pd.Series, media_types: pd.Series,
                        deterministic_fake: bool = False) -> np.ndarray:
-    """The codec boundary.  A production build plugs Pillow/torchaudio/
-    ffmpeg in here; this container has none, so either fake or raise."""
+    """Back-compat shim over the codec protocol."""
     if not deterministic_fake:
         raise NotImplementedError(
             "media decoding requires image/audio libraries not present in "
             "this environment; pass deterministic_fake=True for the "
             "reproducible byte-derived feature stub"
         )
-    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
-    for i, payload in enumerate(payloads):
-        digest = hashlib.sha256(bytes(payload)).digest()
-        out[i] = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
-    return out
+    return DeterministicFakeCodec().decode_batch(payloads, media_types)
 
 
-def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    deterministic_fake: bool = True,
+    codec: MediaCodec | None = None,
+) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas.
 
     Narrow (partition-preserving, no shuffle); Arrow batches keep payload
-    bytes off the Python heap until the batch is processed."""
+    bytes off the Python heap until the batch is processed.  ``codec``
+    selects the decoder implementation (default: the deterministic fake —
+    this environment ships no image/audio libraries)."""
+    if codec is None:
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "no real codec available in this environment; pass "
+                "deterministic_fake=True or an explicit MediaCodec"
+            )
+        codec = DeterministicFakeCodec()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = decode_media_batch(pdf["payload"], pdf["media_type"],
-                                       deterministic_fake=deterministic_fake)
+            feats = codec.decode_batch(pdf["payload"], pdf["media_type"])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -116,6 +175,26 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
             })
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def media_profile(df: DataFrame, codec: MediaCodec | None = None) -> DataFrame:
+    """One row per media item combining the three pipelines — features
+    (decode via codec), resize planning, and video frame-sampling counts —
+    so the whole multimodal surface is exercised by one plan: two narrow
+    mapInPandas passes + one broadcast-friendly aggregation join."""
+    feats = extract_features(df, codec=codec).select(
+        "media_id", "media_type", "payload_bytes",
+        F.round(F.expr("aggregate(feature, 0D, (s, v) -> s + v)"), 4).alias("feature_sum"),
+    )
+    resize = resize_metadata(df)
+    frames = sample_frames(df).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(resize, "media_id")
+        .join(frames, "media_id", "left")
+        .na.fill({"n_frames": 0})
+    )
 
 
 def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:

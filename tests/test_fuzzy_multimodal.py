@@ -94,3 +94,40 @@ def test_resize_metadata_rule(spark):
             assert max(r.target_width, r.target_height) <= 1024
         else:
             assert (r.target_width, r.target_height) == (w, h)
+
+
+def test_codec_protocol_pluggable(spark):
+    """A custom MediaCodec drops in without touching the Spark plumbing;
+    the Pillow slot raises cleanly in this image-library-free container."""
+    import numpy as np
+    import pytest
+
+    from ocr_auto_label_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MediaCodec,
+        PillowImageCodec,
+        extract_features,
+        synth_media,
+    )
+
+    class ConstCodec(MediaCodec):
+        def decode_batch(self, payloads, media_types):
+            return np.full((len(payloads), FEATURE_DIM), 0.25, dtype=np.float32)
+
+    rows = extract_features(synth_media(spark, n=6), codec=ConstCodec()).collect()
+    assert all(abs(v - 0.25) < 1e-6 for r in rows for v in r.feature)
+    with pytest.raises(NotImplementedError):
+        PillowImageCodec()
+
+
+def test_media_profile_combines_three_pipelines(spark):
+    from ocr_auto_label_spark.operators.multimodal import media_profile, synth_media
+
+    out = media_profile(synth_media(spark, n=12)).collect()
+    assert len(out) == 12
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.media_type, []).append(r)
+        assert r.payload_bytes > 0 and r.target_width >= 1
+    assert all(r.n_frames >= 1 for r in by_type["video"])
+    assert all(r.n_frames == 0 for r in by_type["image"])

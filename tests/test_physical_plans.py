@@ -82,6 +82,21 @@ def test_salted_repartition_spreads_hot_conv(spark):
     assert max(sizes.values()) < 2000 / 2  # no partition holds most of it
 
 
+def test_minhash_signature_stage_computed_once(spark):
+    """dedup: the explode-all-shingles + k-min signature aggregate (the
+    dominant stage) is built once and shared — the final adaptive plan
+    shows its exchange reused by the banding and estimate-prefilter
+    consumers instead of recomputed per consumer."""
+    from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_lsh_dedup(docs, threshold=0.7)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
+
+
 def test_extraction_stage_has_no_shuffle(spark):
     """The flagship narrow path: no Exchange between scan and the Arrow
     extraction projection."""
