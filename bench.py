@@ -30,17 +30,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "extract_flagship",
     "extract_best_labels",
-    "j5_broadcast_join_agg",
+    "j5_join_suite",
     "j1_time_range_self_join",
-    "w1_ordinal_naming",
+    "w1_a1_j3_ordinal_naming",
     "w5_sliding_frame_avg",
     "w8_session_window",
     "a6_ordered_distinct_union",
+    "lifecycle_e2_reindex",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_variants",
     "embed_cosine_topk",
-    "embed_cosine_topk_ivf",
+    "embed_ann_variants",
     "embed_neardup_pairs",
     "text_quality_stats",
     "text_language_id",
@@ -68,6 +69,10 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
     transcripts_parquet(_sf_turns(SF_DIR))  # pre-generate outside timing
     spark = build_spark(app_name=f"bench-{master}", master=master,
                         shuffle_partitions=shuffle_partitions)
+    # the bench artifact must end in one clean JSON line: silence JVM-side
+    # logging (incl. the benign PythonAccumulatorV2 flush trace that a
+    # stopping session can emit mid-suite)
+    spark.sparkContext.setLogLevel("OFF")
     queries = build_queries()
     timings: dict[str, float] = {}
     n_turns = _sf_turns(SF_DIR)
@@ -107,6 +112,7 @@ def scaling_run(master: str, shuffle_partitions: int, n_turns: int) -> float:
     transcripts_parquet(n_turns)
     spark = build_spark(app_name=f"scale-{master}", master=master,
                         shuffle_partitions=shuffle_partitions)
+    spark.sparkContext.setLogLevel("OFF")
     original = eq._sf_turns
     eq._sf_turns = lambda _: n_turns  # point the flagship at the big input
     try:

@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--wave-size", type=int, default=32)
     p.add_argument("--input-format", default="parquet")
+    p.add_argument("--output-format", default="parquet", choices=["parquet", "iceberg"],
+                   help="iceberg: write via DataFrameWriterV2 overwritePartitions "
+                        "into a catalog table (requires Iceberg jars + catalog conf; "
+                        "--output is then a table identifier)")
     p.add_argument("--salt-partitions", type=int, default=0,
                    help="salted-repartition the input to N partitions before "
                         "extraction — for inputs whose files are clustered by "
@@ -57,8 +61,11 @@ def main() -> None:
         spark, input_path, args.output, args.lineage, args.run_id,
         n_buckets=args.n_buckets, wave_size=args.wave_size,
         input_format=args.input_format, salt_partitions=args.salt_partitions,
+        output_format=args.output_format,
     )
-    rows = spark.read.parquet(args.output).count()
+    from ocr_auto_label_spark.lineage import read_output
+
+    rows = read_output(spark, args.output, args.output_format).count()
     elapsed = time.time() - t0
     summary.update({
         "rows_out": rows,

@@ -170,7 +170,12 @@ def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spar
     if os.path.isdir(path):
         return path
     if os.path.isfile(path):  # pre-multi-file cache from an older run
-        os.remove(path)
+        # tolerant loser-discard, matching the rename path: a concurrent
+        # caller may have removed it between the isfile check and here
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
     os.makedirs(base_dir, exist_ok=True)
     pdf = generate_transcripts(n_turns, seed)
     # writer-private tmp dir: concurrent callers must not share one

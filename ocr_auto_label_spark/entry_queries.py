@@ -86,6 +86,7 @@ def _textstats_sql(dialect: str) -> str:
     mean_word = f"length(text) * 1.0 / greatest({tc}, 1)"
     word_band = f"(CASE WHEN {mean_word} >= 3 AND {mean_word} <= 12 THEN 1.0 ELSE 0.4 END)"
     quality = f"0.4 * {length_band} + 0.3 * (1 - {pr}) + 0.3 * {word_band}"
+    bpe = f"{tlen}(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))"
     # CAST to DOUBLE: Spark parses 0.4-style literals as DECIMAL, DuckDB as
     # DOUBLE — cast both so types and hashes line up
     return (
@@ -93,6 +94,7 @@ def _textstats_sql(dialect: str) -> str:
         f"CAST(round(avg({tc}), 4) AS DOUBLE) AS avg_tokens, "
         f"CAST(round(avg({pr}), 4) AS DOUBLE) AS avg_punct, "
         f"CAST(round(avg({quality}), 4) AS DOUBLE) AS avg_quality, "
+        f"CAST(round(avg({bpe}), 4) AS DOUBLE) AS avg_bpe_tokens, "
         "count(*) AS cnt "
         "FROM documents GROUP BY lang"
     )
@@ -221,23 +223,13 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.multimodal import extract_features, synth_media
+def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan exercising the whole multimodal surface: codec-decoded
+    features + resize planning + video frame-sample counts (see
+    operators/multimodal.py ``media_profile``)."""
+    from ocr_auto_label_spark.operators.multimodal import media_profile, synth_media
 
-    return extract_features(synth_media(spark, n=120))
-
-
-def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.multimodal import sample_frames, synth_media
-
-    frames = sample_frames(synth_media(spark, n=120))
-    return frames.select("media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes"))
-
-
-def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.multimodal import resize_metadata, synth_media
-
-    return resize_metadata(synth_media(spark, n=120))
+    return media_profile(synth_media(spark, n=120))
 
 
 # ------------------------------------------------------ operator-backed
@@ -312,37 +304,40 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, ["lang", "n_chars"], threshold=0.3)
 
 
-def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup
+def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup, char-5-shingle AND word-3-shingle variants in
+    one plan (variant column distinguishes them).
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # 0.7: the synthetic corpus shares one small vocabulary, so baseline
-    # pairwise Jaccard sits ≈0.35 — a lower threshold would make *every*
-    # pair a near-dup and the query degenerate to O(n²) exact verification
-    return minhash_lsh_dedup(docs, threshold=0.7)
-
-
-def _dedup_minhash_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    0.7 threshold: the synthetic corpus shares one small vocabulary, so
+    baseline pairwise Jaccard sits ≈0.35 — a lower threshold would make
+    *every* pair a near-dup and the query degenerate to O(n²) exact
+    verification.  Word 3-shingles are the document-scale variant
+    (~6× fewer shingles per doc)."""
     from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup, word_shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # word 3-shingles: the document-scale variant (~6× fewer shingles)
-    return minhash_lsh_dedup(docs, threshold=0.7, shingle_width=3,
-                             shingle_fn=word_shingles)
+    char = minhash_lsh_dedup(docs, threshold=0.7).withColumn(
+        "variant", F.lit("char5")
+    )
+    word = minhash_lsh_dedup(
+        docs, threshold=0.7, shingle_width=3, shingle_fn=word_shingles
+    ).withColumn("variant", F.lit("word3"))
+    return char.unionByName(word)
 
 
-def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _text_hash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + rolling-hash document fingerprint — both per-doc 64-bit
+    signatures, one narrow scan (xxhash64 has no DuckDB analog →
+    rows-only by design)."""
     from ocr_auto_label_spark.operators.dedup import simhash64
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
-
-
-def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.textstats import doc_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        simhash64("text").alias("simhash"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -360,20 +355,6 @@ def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, round_digits=4)
 
 
-def _embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.similarity import lsh_bucketed_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10, bits=4)
-
-
-def _embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4)
-
-
 def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.similarity import cosine_neardup_pairs
 
@@ -381,19 +362,44 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3)
 
 
-def _embed_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs blocked by the hyperplane-LSH signature instead of a
-    label column — the composition that scales to unlabeled corpora
-    (blocking key is computed, not given)."""
+def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three approximate paths in one entry (recall < 1 by design →
+    rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, and
+    near-dup pairs blocked by the computed LSH signature (the composition
+    that scales to unlabeled corpora — the blocking key is computed, not
+    given).  Normalized to (variant, id_a, id_b, cosine); for the top-k
+    variants id_a is the query vector's id (0)."""
     from ocr_auto_label_spark.operators.similarity import (
         cosine_neardup_pairs,
         hyperplane_signature,
+        ivf_topk,
+        lsh_bucketed_topk,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "lsh_sig", hyperplane_signature("embedding", bits=6)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+
+    def norm_topk(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.lit(0).cast("long").alias("id_a"),
+            F.col("vec_id").cast("long").alias("id_b"),
+            "cosine",
+        )
+
+    lsh = norm_topk(lsh_bucketed_topk(emb, q, k=10, bits=4), "lsh_topk")
+    ivf = norm_topk(ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4), "ivf_topk")
+    blocked = cosine_neardup_pairs(
+        emb.withColumn("lsh_sig", hyperplane_signature("embedding", bits=6)),
+        block_cols=["lsh_sig"],
+        threshold=0.9,
+    ).select(
+        F.lit("lsh_blocked_neardup").alias("variant"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
     )
-    return cosine_neardup_pairs(emb, block_cols=["lsh_sig"], threshold=0.9)
+    return lsh.unionByName(ivf).unionByName(blocked)
 
 
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,30 +510,114 @@ def _streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _infer_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass ±9-row inference (J2/W4/W5) on a documents-derived frame:
-    even doc_ids are labeled sources; odd ones inherit via desc+color match."""
-    from ocr_auto_label_spark.operators.inference import infer_groups
+def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 in one entry: the availableNow watermarked-window drain AND
+    the applyInPandasWithState running totals, union-normalized with a
+    variant column (both not SQL-expressible → rows-only)."""
+    win = _streaming_windowed_counts(spark, sf_dir).select(
+        F.lit("windowed").alias("variant"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_iso"),
+        "conv_id", "turns", "turns_with_label",
+    )
+    st = _streaming_stateful_totals(spark, sf_dir).select(
+        F.lit("stateful").alias("variant"),
+        F.lit(None).cast("string").alias("window_start_iso"),
+        "conv_id", "turns", "turns_with_label",
+    )
+    return win.unionByName(st)
+
+
+def _lifecycle_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 composed lifecycle (images.ts:387-455 + reindexGroup
+    images.ts:39-59) on a documents-derived frame: every 7th doc moves —
+    to a valid sample-code group (id%3==0), an invalid-name group
+    (id%3==1), or out of any group (id%3==2); then ONLY the affected
+    groups are re-indexed and statuses recomputed."""
+    from ocr_auto_label_spark.operators.lifecycle import apply_group_moves
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    palette = F.array(F.lit("#FF0000"), F.lit("#0000FF"), F.lit("#00FF00"), F.lit("#111111"))
     frame = docs.select(
-        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("group"),
         F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
                  F.lit(".jpg")).alias("original_name"),
-        (F.col("doc_id") * 1000).alias("ts_ms"),
-        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("g"), F.col("source"))).alias("group"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4)).alias("desc"),
-        F.array(F.element_at(palette, (F.col("doc_id") % 4 + 1).cast("int"))).alias("colors"),
+        F.col("doc_id").alias("created_at"),
+        F.lit("auto_grouped").alias("status"),
+        F.lit(0.5).alias("grouping_confidence"),
+        F.lit("").alias("new_name"),
     )
-    return infer_groups(frame).select(
-        "id", "group", "inferred_group", "grouping_confidence"
+    moves = frame.filter(F.col("id") % 7 == 0).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.lit("MWI.0.1.4.10B.15.7"))
+        .when(F.col("id") % 3 == 1, F.lit("bad group!"))
+        .otherwise(F.lit("")).alias("new_group"),
     )
+    return apply_group_moves(frame, moves).select(
+        "id", "group", "status",
+        F.col("grouping_confidence").cast("double").alias("grouping_confidence"),
+        "new_name",
+    )
+
+
+def _lifecycle_e2_duck() -> str:
+    """DuckDB oracle: full-recompute formulation of the same end state —
+    moves applied, statuses per images.ts:407-419, ordinal re-index
+    restricted to the affected-group set (everything else keeps its
+    initial empty new_name)."""
+    sanitize = (
+        "CASE WHEN {s} = '' THEN 'untitled' ELSE {s} END".format(
+            s="regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+              "trim(grp), '\\s+', '_', 'g'), '[<>:\"/\\\\|?*]', '', 'g'), "
+              "'_+', '_', 'g'), '^_+|_+$', '', 'g')"
+        )
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, source AS grp0,
+         concat('d', lpad(CAST(doc_id AS VARCHAR), 8, '0'), '.jpg') AS original_name,
+         doc_id AS created_at
+  FROM documents),
+moved AS (
+  SELECT id, original_name, created_at,
+         CASE WHEN id % 7 = 0 THEN
+           CASE WHEN id % 3 = 0 THEN 'MWI.0.1.4.10B.15.7'
+                WHEN id % 3 = 1 THEN 'bad group!' ELSE NULL END
+         ELSE grp0 END AS grp,
+         (id % 7 = 0) AS was_moved
+  FROM base),
+affected AS (
+  SELECT DISTINCT grp0 AS g FROM base WHERE id % 7 = 0
+  UNION
+  SELECT DISTINCT CASE WHEN id % 3 = 0 THEN 'MWI.0.1.4.10B.15.7'
+                       WHEN id % 3 = 1 THEN 'bad group!' END AS g
+  FROM base WHERE id % 7 = 0),
+named AS (
+  SELECT id, grp, was_moved, original_name,
+         row_number() OVER (PARTITION BY grp ORDER BY created_at, id) AS rn
+  FROM moved)
+SELECT id, grp AS "group",
+  CASE WHEN was_moved AND grp IS NOT NULL THEN
+         CASE WHEN {is_valid_sql('grp')} THEN 'user_grouped' ELSE 'invalid_group' END
+       WHEN was_moved THEN 'ungrouped' ELSE 'auto_grouped' END AS status,
+  CAST(CASE WHEN was_moved AND grp IS NOT NULL THEN 1.0
+            WHEN was_moved THEN 0.0 ELSE 0.5 END AS DOUBLE) AS grouping_confidence,
+  CASE WHEN grp IS NULL THEN ''
+       WHEN grp IN (SELECT g FROM affected WHERE g IS NOT NULL)
+       THEN concat({sanitize},
+                   CASE WHEN rn > 1 THEN concat('_', CAST(rn AS VARCHAR)) ELSE '' END,
+                   '.jpg')
+       ELSE '' END AS new_name
+FROM named
+"""
 
 
 def _infer_groups_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for J2/W5: the ±9-row window bounded per key (source) —
-    no global single-partition sort; each key's window sorts independently."""
+    """Scale path for J2/W5 — the registered DEFAULT inference entry: the
+    ±9-row window bounded per key (source), no global single-partition
+    sort; each key's window sorts independently.  The reference-exact
+    global form (``infer_groups(key_cols=[])``, one task sorts the world)
+    is reference-semantics-only for small snapshots and stays covered by
+    tests/test_inference.py."""
     from ocr_auto_label_spark.operators.inference import infer_groups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -589,84 +679,33 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= 0.3
 """
 
-# name → (spark callable or shared SQL, duckdb oracle SQL or None)
+# name → (spark callable or shared SQL, duckdb oracle SQL or None).
+# CONTRACT: the driver evaluates the first 50 registry entries in
+# insertion order — the registry is kept ≤50 so EVERY entry gets a
+# CORRECTNESS row, with the extraction core first.  Where round-1 had
+# near-duplicate entries they are merged: a merged entry carries a
+# `variant` column or extra output columns, and COVERAGE.md maps each
+# SURVEY §2 operator to its entry+column.
 REGISTRY: dict[str, tuple[object, str | None]] = {
-    # --- filters / projections (F1-F8) ---
-    "f1_status_filter_agg": (
-        "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value "
-        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type",
-        "same",
+    # --- extraction core (Arrow UDFs: not SQL-expressible) ---
+    "extract_flagship": (_extract_flagship, None),
+    "extract_best_labels": (_extract_best_labels, None),
+    "extract_lineage_stats": (_extract_lineage_stats, None),
+    "full_pipeline_e1": (
+        lambda spark, sf_dir: __import__(
+            "ocr_auto_label_spark.plans.full_pipeline", fromlist=["run_full_pipeline"]
+        ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
+        None,
     ),
-    "f5_search_predicate": (
-        "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
-        "same",
-    ),
-    "f8_null_coercion": (
-        "SELECT nullif(lang, 'zh') AS lang_opt, count(*) AS cnt "
-        "FROM documents GROUP BY nullif(lang, 'zh')",
-        "same",
-    ),
-    "f3_projection_pushdown": (
-        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150.0",
-        "same",
-    ),
-    # --- joins (J1-J7) ---
-    "j5_broadcast_join_agg": (
-        "SELECT /*+ BROADCAST(p) */ l_returnflag, count(*) AS cnt, "
-        "round(sum(l_extendedprice), 2) AS revenue "
-        "FROM lineitem JOIN part p ON l_partkey = p_partkey "
-        "WHERE p_size > 25 GROUP BY l_returnflag",
-        "same",
-    ),
-    "j5_anti_join": (
-        "SELECT c_mktsegment, count(*) AS cnt FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
-        "GROUP BY c_mktsegment",
-        "same",
-    ),
-    "j1_time_range_self_join": (_j1_time_range, _DUCK_J1),
-    "j2_ordinal_proximity_join": (
-        # ±9-row neighborhood (groupInference.ts:354-366); partitioned by
-        # source so the ranking window never collapses to one task at scale
-        "WITH ranked AS (SELECT doc_id, source, "
-        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
-        "SELECT a.doc_id AS doc_id, count(*) AS neighbor_cnt "
-        "FROM ranked a JOIN ranked b ON a.source = b.source "
-        "AND abs(a.rn - b.rn) <= 9 AND a.doc_id <> b.doc_id GROUP BY a.doc_id",
-        "same",
-    ),
-    "j3_group_membership_size": (
-        "SELECT o_orderkey, count(*) OVER (PARTITION BY o_custkey) AS group_size FROM orders",
-        "same",
-    ),
-    "j6_fuzzy_canonical_join": (_fuzzy_join_spark, _fuzzy_join_duck()),
-    # --- sources (S3/S4/S8 shaping) ---
-    "s3_source_format_filter": (
-        "SELECT ext, count(*) AS cnt FROM ("
-        "SELECT regexp_extract(path, '\\\\.([^.]*)$', 1) AS ext FROM ("
-        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
-        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
-        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
-        "ELSE '.__MACOSX' END) AS path FROM documents) p "
-        "WHERE path rlike '\\\\.(jpg|jpeg|png|heic|heif)$' "
-        "AND NOT path rlike '(^|/)\\\\._|__MACOSX') e GROUP BY ext",
-        "SELECT ext, count(*) AS cnt FROM ("
-        "SELECT regexp_extract(path, '\\.([^.]*)$', 1) AS ext FROM ("
-        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
-        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
-        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
-        "ELSE '.__MACOSX' END) AS path FROM documents) p "
-        "WHERE regexp_matches(path, '\\.(jpg|jpeg|png|heic|heif)$') "
-        "AND NOT regexp_matches(path, '(^|/)\\._|__MACOSX')) e GROUP BY ext",
-    ),
-    "s8_export_shape": (
-        # images.ts:799-814: ISO timestamp + empty-string defaults per column
-        "SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_iso, "
-        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
-        "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_iso, "
-        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
-    ),
-    # --- windows (W1-W7) ---
+    # --- E2 composed lifecycle (group move → re-index → status) ---
+    "lifecycle_e2_reindex": (_lifecycle_e2, _lifecycle_e2_duck()),
+    # --- stateful grouping (sequential-transitive fold) ---
+    "auto_group_transitive": (_auto_group_events, None),
+    # --- ±9-row inference: keyed scale path is the registered default ---
+    "infer_groups_keyed": (_infer_groups_keyed, None),
+    # --- structured streaming (availableNow drains; not SQL-expressible) ---
+    "streaming_pipeline": (_streaming_pipeline, None),
+    # --- windows (W1-W8) ---
     "w2_stable_turn_ordering": (
         "SELECT event_id, row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) AS turn_rank FROM events",
@@ -688,27 +727,34 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, "
         "count(*) AS turns FROM i GROUP BY user_id, sess",
     ),
-    "w4_most_recent_pick": (
-        "WITH ranked AS (SELECT user_id, event_id, "
-        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
-        "FROM events) SELECT user_id, event_id AS latest_event FROM ranked WHERE rn = 1",
-        "same",
-    ),
-    "w1_ordinal_naming": (
+    # W1 webapp + A1 notebook naming off ONE ranked window, plus the J3
+    # membership-size window (count over partition, no join)
+    "w1_a1_j3_ordinal_naming": (
         "WITH ranked AS (SELECT o_orderkey, o_custkey, "
-        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
-        "FROM orders) "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, "
+        "count(*) OVER (PARTITION BY o_custkey) AS group_size FROM orders) "
         "SELECT o_orderkey, concat('c', CAST(o_custkey AS STRING), "
-        "CASE WHEN rn > 1 THEN concat('_', CAST(rn AS STRING)) ELSE '' END, '.csv') AS new_name "
-        "FROM ranked",
+        "CASE WHEN rn > 1 THEN concat('_', CAST(rn AS STRING)) ELSE '' END, '.csv') AS webapp_name, "
+        "concat('c', CAST(o_custkey AS STRING), '_', CAST(rn AS STRING), '.jpg') AS notebook_name, "
+        "group_size FROM ranked",
         "same",
     ),
-    "w3_argmax_best_match": (
+    # W3 argmax (first-seen-wins) + W4 most-recent pick + A3 group bool_or
+    # + O3/O4 sorted-iteration top-1, one pass over orders
+    "w3_w4_a3_group_pick": (
         "WITH ranked AS (SELECT o_custkey, o_orderkey, o_totalprice, "
         "row_number() OVER (PARTITION BY o_custkey "
-        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) AS rn FROM orders) "
-        "SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price "
-        "FROM ranked WHERE rn = 1",
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) AS price_rn, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS recent_rn, "
+        "max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY o_custkey) AS has_final FROM orders), "
+        "best AS (SELECT o_custkey, o_orderkey AS best_orderkey, "
+        "o_totalprice AS best_price, has_final FROM ranked WHERE price_rn = 1), "
+        "recent AS (SELECT o_custkey, o_orderkey AS latest_orderkey "
+        "FROM ranked WHERE recent_rn = 1) "
+        "SELECT b.o_custkey AS o_custkey, best_orderkey, best_price, has_final, "
+        "latest_orderkey FROM best b JOIN recent r ON b.o_custkey = r.o_custkey",
         "same",
     ),
     "w5_sliding_frame_avg": (
@@ -717,26 +763,118 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "FROM events",
         "same",
     ),
-    # --- aggregations (A1-A8) ---
-    "a1_notebook_numbering": (
-        # rename_photos.ipynb rule: every member gets _n starting at 1
-        # (vs W1's no-suffix-for-first webapp rule)
-        "WITH ranked AS (SELECT o_orderkey, o_custkey, "
-        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
-        "FROM orders) SELECT o_orderkey, concat('c', CAST(o_custkey AS STRING), '_', "
-        "CAST(rn AS STRING), '.jpg') AS new_name FROM ranked",
+    # --- scalar-function suites (X1-X17) ---
+    "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
+    "x10_color_family": (_color_family_sql(), "same"),
+    # W6/X12: emit the exact BIGINT decay units greatest(0, 120-Δ) — the
+    # score is the fixed linear map 0.2/120·units, and round(double, 6)
+    # diverges between Spark (BigDecimal HALF_UP) and DuckDB (double
+    # multiply-round), so the compared column stays integer
+    "x12_time_decay": (
+        "SELECT event_id, greatest(CAST(0 AS BIGINT), 120 - (tsl - min_ts)) "
+        "AS decay_units FROM (SELECT event_id, unix_timestamp(ts) AS tsl, "
+        "min(unix_timestamp(ts)) OVER (PARTITION BY user_id) AS min_ts FROM events) t",
+        "SELECT event_id, greatest(CAST(0 AS BIGINT), 120 - (tsl - min_ts)) "
+        "AS decay_units FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl, "
+        "min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS min_ts "
+        "FROM events) t",
+    ),
+    # X7 dup-counting word overlap (grouping.ts:309-324): integer
+    # numerator/denominator instead of a rounded ratio (hash-exact)
+    "x7_word_overlap_similarity": (
+        "SELECT a.doc_id AS doc_id, CAST(size(array_intersect("
+        "split(lower(a.text), ' '), split(lower(b.text), ' '))) AS BIGINT) AS overlap_cnt, "
+        "CAST(greatest(greatest(size(split(lower(a.text), ' ')), "
+        "size(split(lower(b.text), ' '))), 1) AS BIGINT) AS denom "
+        "FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
+        "SELECT a.doc_id AS doc_id, CAST(len(list_distinct(list_intersect("
+        "string_split(lower(a.text), ' '), string_split(lower(b.text), ' ')))) AS BIGINT) "
+        "AS overlap_cnt, CAST(greatest(greatest(len(string_split(lower(a.text), ' ')), "
+        "len(string_split(lower(b.text), ' '))), 1) AS BIGINT) AS denom "
+        "FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
+    ),
+    # --- filters / projections (F1-F8) ---
+    "f1_status_filter_agg": (
+        "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type",
         "same",
     ),
-    "a5_extension_stats": (
+    "f5_search_predicate": (
+        "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
+        "same",
+    ),
+    "f3_projection_pushdown": (
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150.0",
+        "same",
+    ),
+    # --- joins (J1-J7) ---
+    # J5 broadcast-agg + anti-join in one union (variant column)
+    "j5_join_suite": (
+        "SELECT /*+ BROADCAST(p) */ 'broadcast_agg' AS variant, "
+        "l_returnflag AS grp_key, count(*) AS cnt, "
+        "round(sum(l_extendedprice), 2) AS revenue "
+        "FROM lineitem JOIN part p ON l_partkey = p_partkey "
+        "WHERE p_size > 25 GROUP BY l_returnflag "
+        "UNION ALL "
+        "SELECT 'anti' AS variant, c_mktsegment AS grp_key, count(*) AS cnt, "
+        "CAST(NULL AS DOUBLE) AS revenue FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY c_mktsegment",
+        "same",
+    ),
+    "j1_time_range_self_join": (_j1_time_range, _DUCK_J1),
+    "j2_ordinal_proximity_join": (
+        # ±9-row neighborhood (groupInference.ts:354-366); partitioned by
+        # source so the ranking window never collapses to one task at scale
+        "WITH ranked AS (SELECT doc_id, source, "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+        "SELECT a.doc_id AS doc_id, count(*) AS neighbor_cnt "
+        "FROM ranked a JOIN ranked b ON a.source = b.source "
+        "AND abs(a.rn - b.rn) <= 9 AND a.doc_id <> b.doc_id GROUP BY a.doc_id",
+        "same",
+    ),
+    "j6_fuzzy_canonical_join": (_fuzzy_join_spark, _fuzzy_join_duck()),
+    # --- sources (S3/S4 filter + A5 extension stats, one union) ---
+    "s3_a5_extension_stats": (
+        "SELECT 'filtered' AS variant, ext, cnt FROM ("
+        "SELECT ext, count(*) AS cnt FROM ("
+        "SELECT regexp_extract(path, '\\\\.([^.]*)$', 1) AS ext FROM ("
+        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
+        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
+        "ELSE '.__MACOSX' END) AS path FROM documents) p "
+        "WHERE path rlike '\\\\.(jpg|jpeg|png|heic|heif)$' "
+        "AND NOT path rlike '(^|/)\\\\._|__MACOSX') e GROUP BY ext) q1 "
+        "UNION ALL "
+        "SELECT 'all_lower' AS variant, ext, cnt FROM ("
         "SELECT lower(regexp_extract(concat('f', CAST(doc_id AS STRING), "
         "CASE WHEN doc_id % 3 = 0 THEN '.JPG' WHEN doc_id % 3 = 1 THEN '.png' "
         "ELSE '.heic' END), '\\\\.([^.]*)$', 1)) AS ext, count(*) AS cnt "
-        "FROM documents GROUP BY 1",
+        "FROM documents GROUP BY 1) q2",
+        "SELECT 'filtered' AS variant, ext, cnt FROM ("
+        "SELECT ext, count(*) AS cnt FROM ("
+        "SELECT regexp_extract(path, '\\.([^.]*)$', 1) AS ext FROM ("
+        "SELECT concat('dir/f', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 5 = 0 THEN '.jpg' WHEN doc_id % 5 = 1 THEN '.txt' "
+        "WHEN doc_id % 5 = 2 THEN '.png' WHEN doc_id % 5 = 3 THEN '.heic' "
+        "ELSE '.__MACOSX' END) AS path FROM documents) p "
+        "WHERE regexp_matches(path, '\\.(jpg|jpeg|png|heic|heif)$') "
+        "AND NOT regexp_matches(path, '(^|/)\\._|__MACOSX')) e GROUP BY ext) q1 "
+        "UNION ALL "
+        "SELECT 'all_lower' AS variant, ext, cnt FROM ("
         "SELECT lower(regexp_extract(concat('f', CAST(doc_id AS STRING), "
         "CASE WHEN doc_id % 3 = 0 THEN '.JPG' WHEN doc_id % 3 = 1 THEN '.png' "
         "ELSE '.heic' END), '\\.([^.]*)$', 1)) AS ext, count(*) AS cnt "
-        "FROM documents GROUP BY 1",
+        "FROM documents GROUP BY 1) q2",
     ),
+    "s8_export_shape": (
+        # images.ts:799-814: ISO timestamp + empty-string defaults per column
+        "SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_iso, "
+        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
+        "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_iso, "
+        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
+    ),
+    # --- aggregations (A2/A4/A6/A8 + F7/F8 null coercion) ---
     "a8_hit_rate_tally": (
         # grouping.ts:114 success tally → our per-partition hit-rate metric
         "SELECT user_id, count(*) AS row_count, "
@@ -749,163 +887,131 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "GROUP BY n_chars HAVING count(*) > 1",
         "same",
     ),
-    "a3_group_bool_or": (
-        "SELECT o_custkey, max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_final "
-        "FROM orders GROUP BY o_custkey",
-        "same",
-    ),
-    # rows-only: DuckDB has no documented order-preserving list-distinct
-    "a6_exact_order_preserving_union": (_ordered_union_merge, None),
+    # A6/U5 ordered distinct union + F7/F8 nullif coercion on the same agg
     "a6_ordered_distinct_union": (
-        "SELECT lang, array_join(array_sort(collect_set(source)), ';') AS sources, "
+        "SELECT lang, nullif(lang, 'zh') AS lang_opt, "
+        "array_join(array_sort(collect_set(source)), ';') AS sources, "
         "count(*) AS cnt FROM documents GROUP BY lang",
-        "SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ';') AS sources, "
+        "SELECT lang, nullif(lang, 'zh') AS lang_opt, "
+        "array_to_string(list_sort(list(DISTINCT source)), ';') AS sources, "
         "count(*) AS cnt FROM documents GROUP BY lang",
     ),
-    # --- set ops (U1-U5) ---
+    # --- set ops (U1-U3 + X8 meaningful words) ---
     "u1_union_by_name": (
         "SELECT lang, count(*) AS cnt FROM ("
         "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
         "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'es') u GROUP BY lang",
         "same",
     ),
-    "u2_word_overlap": (
+    "u2_u3_word_set_ops": (
         "SELECT doc_id, size(array_intersect(split(lower(text), ' '), "
-        "array('spark', 'data', 'query'))) AS overlap FROM documents",
-        "SELECT doc_id, len(list_intersect(string_split(lower(text), ' '), "
-        "['spark', 'data', 'query'])) AS overlap FROM documents",
-    ),
-    "u3_stopword_except": (
-        "SELECT doc_id, size(array_except(split(lower(text), ' '), "
+        "array('spark', 'data', 'query'))) AS overlap, "
+        "size(array_except(split(lower(text), ' '), "
         "array('the', 'a', 'an', 'and', 'or', 'in', 'on', 'at', 'to', 'of'))) "
         "AS meaningful_cnt FROM documents",
-        "SELECT doc_id, len(list_distinct(list_filter(string_split(lower(text), ' '), "
+        "SELECT doc_id, len(list_intersect(string_split(lower(text), ' '), "
+        "['spark', 'data', 'query'])) AS overlap, "
+        "len(list_distinct(list_filter(string_split(lower(text), ' '), "
         "w -> NOT list_contains(['the', 'a', 'an', 'and', 'or', 'in', 'on', 'at', 'to', 'of'], w)))) "
         "AS meaningful_cnt FROM documents",
     ),
-    # --- scalar functions (X1-X17) ---
-    "x1_code_normalization": (
-        "SELECT code, upper(trim(code)) AS norm_code, "
+    # X1 code normalization + X5 filename sanitization, one customer scan
+    "x1_x5_normalize_sanitize": (
+        "SELECT c_custkey, code, upper(trim(code)) AS norm_code, "
         "size(split(upper(trim(code)), '\\\\.')) AS seg_cnt, "
-        "element_at(split(upper(trim(code)), '\\\\.'), 1) AS first_seg FROM "
-        "(SELECT concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code "
-        "FROM customer) t",
-        "SELECT code, upper(trim(code)) AS norm_code, "
+        "element_at(split(upper(trim(code)), '\\\\.'), 1) AS first_seg, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw_name, "
+        "'[ ]+', '_'), '[<>:?*]', ''), '[_]+', '_'), '^[_]+|[_]+$', '') AS clean_name "
+        "FROM (SELECT c_custkey, concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code, "
+        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')) AS raw_name FROM customer) t",
+        "SELECT c_custkey, code, upper(trim(code)) AS norm_code, "
         "len(string_split(upper(trim(code)), '.')) AS seg_cnt, "
-        "string_split(upper(trim(code)), '.')[1] AS first_seg FROM "
-        "(SELECT concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code "
-        "FROM customer) t",
+        "string_split(upper(trim(code)), '.')[1] AS first_seg, "
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw_name, "
+        "'[ ]+', '_', 'g'), '[<>:?*]', '', 'g'), '[_]+', '_', 'g'), '^[_]+|[_]+$', '', 'g') AS clean_name "
+        "FROM (SELECT c_custkey, concat(' ', c_mktsegment, '.', CAST(c_custkey AS STRING), ' ') AS code, "
+        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')) AS raw_name FROM customer) t",
     ),
-    "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
-    "x6_extension_dual": (
-        # upload.ts:680 last-dot vs rename_photos.ipynb first-dot
-        "SELECT doc_id, regexp_extract(fname, '\\\\.([^.]*)$', 1) AS ext_last, "
-        "regexp_extract(fname, '^[^.]*\\\\.(.*)$', 1) AS ext_first FROM "
-        "(SELECT doc_id, concat('img.', lang, "
-        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
-        "FROM documents) t",
-        "SELECT doc_id, regexp_extract(fname, '\\.([^.]*)$', 1) AS ext_last, "
-        "regexp_extract(fname, '^[^.]*\\.(.*)$', 1) AS ext_first FROM "
-        "(SELECT doc_id, concat('img.', lang, "
-        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
-        "FROM documents) t",
-    ),
-    "x7_word_overlap_similarity": (
-        "SELECT a.doc_id AS doc_id, round(size(array_intersect("
-        "split(lower(a.text), ' '), split(lower(b.text), ' '))) * 1.0 / "
-        "greatest(greatest(size(split(lower(a.text), ' ')), size(split(lower(b.text), ' '))), 1), 6) "
-        "AS overlap FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
-        "SELECT a.doc_id AS doc_id, round(len(list_distinct(list_intersect("
-        "string_split(lower(a.text), ' '), string_split(lower(b.text), ' ')))) * 1.0 / "
-        "greatest(greatest(len(string_split(lower(a.text), ' ')), len(string_split(lower(b.text), ' '))), 1), 6) "
-        "AS overlap FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
-    ),
-    "x9_color_normalization": (
-        "SELECT norm_color, count(*) AS cnt FROM (SELECT trim(regexp_replace(lower(concat("
+    # X9 color normalization + X17 group-prefix extraction (variant union)
+    "x9_x17_group_agg": (
+        "SELECT 'norm_color' AS variant, grp_key, cnt FROM ("
+        "SELECT trim(regexp_replace(lower(concat("
         "CASE WHEN doc_id % 3 = 0 THEN 'light ' WHEN doc_id % 3 = 1 THEN 'dark ' ELSE '' END, "
-        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\\\s+', '')) AS norm_color "
-        "FROM documents) t GROUP BY norm_color",
-        "SELECT norm_color, count(*) AS cnt FROM (SELECT trim(regexp_replace(lower(concat("
+        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\\\s+', '')) AS grp_key, "
+        "count(*) AS cnt FROM documents GROUP BY 1) q1 "
+        "UNION ALL "
+        "SELECT 'group_prefix' AS variant, grp_key, cnt FROM ("
+        "SELECT regexp_extract(concat(lang, '_', CAST(doc_id AS STRING)), '^([^_]+)_', 1) "
+        "AS grp_key, count(*) AS cnt FROM documents GROUP BY 1) q2",
+        "SELECT 'norm_color' AS variant, grp_key, cnt FROM ("
+        "SELECT trim(regexp_replace(lower(concat("
         "CASE WHEN doc_id % 3 = 0 THEN 'light ' WHEN doc_id % 3 = 1 THEN 'dark ' ELSE '' END, "
-        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\s+', '', 'g')) AS norm_color "
-        "FROM documents) t GROUP BY norm_color",
+        "lang, ' blue')), '(light|dark|bright|deep|pale|vivid)\\s+', '', 'g')) AS grp_key, "
+        "count(*) AS cnt FROM documents GROUP BY 1) q1 "
+        "UNION ALL "
+        "SELECT 'group_prefix' AS variant, grp_key, cnt FROM ("
+        "SELECT regexp_extract(concat(lang, '_', CAST(doc_id AS STRING)), '^([^_]+)_', 1) "
+        "AS grp_key, count(*) AS cnt FROM documents GROUP BY 1) q2",
     ),
-    "x10_color_family": (_color_family_sql(), "same"),
-    "x12_time_decay": (
-        # grouping.ts:187-190: max(0, 1 - Δt/window) * 0.2
-        "SELECT event_id, round(greatest(0.0, 1.0 - (tsl - min_ts) / 120.0) * 0.2, 6) "
-        "AS decay_score FROM (SELECT event_id, unix_timestamp(ts) AS tsl, "
-        "min(unix_timestamp(ts)) OVER (PARTITION BY user_id) AS min_ts FROM events) t",
-        "SELECT event_id, round(greatest(0.0, 1.0 - (tsl - min_ts) / 120.0) * 0.2, 6) "
-        "AS decay_score FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl, "
-        "min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS min_ts "
-        "FROM events) t",
-    ),
+    # X14 fence-strip+parse AND the X13 plain-JSON path, same agg
     "x14_fence_strip_json": (
         # gemini.ts:223-257: strip ```json fences, then parse
         "SELECT event_type, round(avg(CAST(get_json_object(regexp_replace("
         "concat('```json', chr(10), props, chr(10), '```'), "
-        "'^```json\\\\s*|\\\\s*```$', ''), '$.k') AS INT)), 4) AS avg_k "
+        "'^```json\\\\s*|\\\\s*```$', ''), '$.k') AS INT)), 4) AS avg_k_fenced, "
+        "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k_plain "
         "FROM events GROUP BY event_type",
         "SELECT event_type, round(avg(CAST(json_extract_string(regexp_replace("
         "concat('```json', chr(10), props, chr(10), '```'), "
-        "'^```json\\s*|\\s*```$', '', 'g'), '$.k') AS INT)), 4) AS avg_k "
+        "'^```json\\s*|\\s*```$', '', 'g'), '$.k') AS INT)), 4) AS avg_k_fenced, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k_plain "
         "FROM events GROUP BY event_type",
     ),
-    "x15_csv_field_shaping": (
-        # images.ts:799-814: colors → 'name:color; …' + empty defaults
+    # X15 CSV field shaping + X6 dual extension rules, one documents scan
+    "x15_x6_field_shaping": (
+        # images.ts:799-814 colors → 'name:color; …' + empty defaults;
+        # upload.ts:680 last-dot vs rename_photos.ipynb first-dot
         "SELECT doc_id, concat_ws('; ', transform(array("
         "named_struct('name', 'primary', 'color', lang), "
         "named_struct('name', 'source', 'color', source)), "
         "x -> concat(x.name, ':', x.color))) AS colors_csv, "
-        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty FROM documents",
+        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty, "
+        "regexp_extract(fname, '\\\\.([^.]*)$', 1) AS ext_last, "
+        "regexp_extract(fname, '^[^.]*\\\\.(.*)$', 1) AS ext_first "
+        "FROM (SELECT doc_id, lang, source, concat('img.', lang, "
+        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
+        "FROM documents) t",
         "SELECT doc_id, array_to_string(list_transform("
         "[struct_pack(name := 'primary', color := lang), "
         "struct_pack(name := 'source', color := source)], "
         "x -> concat(x.name, ':', x.color)), '; ') AS colors_csv, "
-        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty FROM documents",
+        "coalesce(nullif(lang, 'und'), '') AS lang_or_empty, "
+        "regexp_extract(fname, '\\.([^.]*)$', 1) AS ext_last, "
+        "regexp_extract(fname, '^[^.]*\\.(.*)$', 1) AS ext_first "
+        "FROM (SELECT doc_id, lang, source, concat('img.', lang, "
+        "CASE WHEN doc_id % 2 = 0 THEN '.tar.gz' ELSE '.jpg' END) AS fname "
+        "FROM documents) t",
     ),
-    "x5_sanitize_filename": (
-        "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')), "
-        "'[ ]+', '_'), '[<>:?*]', ''), '[_]+', '_'), '^[_]+|[_]+$', '') AS clean_name "
-        "FROM customer",
-        "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        "trim(concat(' ', c_name, ' <', c_mktsegment, '> ')), "
-        "'[ ]+', '_', 'g'), '[<>:?*]', '', 'g'), '[_]+', '_', 'g'), '^[_]+|[_]+$', '', 'g') AS clean_name "
-        "FROM customer",
-    ),
-    "x13_json_extract": (
-        "SELECT event_type, round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k "
-        "FROM events GROUP BY event_type",
-        "SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k "
-        "FROM events GROUP BY event_type",
-    ),
+    # X16 ISO day bucket + the MM-DD-YY display variant
+    # (.cursor/implementation-plan.mdc:108-110)
     "x16_date_format_agg": (
-        "SELECT date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS cnt FROM events GROUP BY 1",
-        "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events GROUP BY 1",
+        "SELECT date_format(ts, 'yyyy-MM-dd') AS day, "
+        "date_format(min(ts), 'MM-dd-yy HH:mm:ss') AS first_ts_display, "
+        "count(*) AS cnt FROM events GROUP BY 1",
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "strftime(min(ts), '%m-%d-%y %H:%M:%S') AS first_ts_display, "
+        "count(*) AS cnt FROM events GROUP BY 1",
     ),
-    "x17_group_prefix": (
-        "SELECT regexp_extract(concat(lang, '_', CAST(doc_id AS STRING)), '^([^_]+)_', 1) "
-        "AS group_prefix, count(*) AS cnt FROM documents GROUP BY 1",
-        "same",
-    ),
-    # --- sorts / top-k / pagination (O1-O4) ---
-    "o1_topk_orders": (
+    # --- sorts / top-k / pagination (O1 top-k + offset in one query) ---
+    "o1_topk_pagination": (
         "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40",
         "same",
     ),
     "o2_multi_field_sort": (
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
         "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30",
         "same",
-    ),
-    "o1_offset_pagination": (
-        "SELECT o_orderkey, o_orderdate FROM orders "
-        "ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40",
-        "SELECT o_orderkey, o_orderdate FROM orders "
-        "ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40",
     ),
     # --- training-data ops: dedup ---
     "dedup_exact_hash": (
@@ -914,15 +1020,12 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "same",
     ),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
-    "dedup_minhash_lsh": (_dedup_minhash, None),      # xxhash64: not in DuckDB
-    "dedup_minhash_word": (_dedup_minhash_word, None),  # xxhash64: not in DuckDB
-    "dedup_simhash": (_dedup_simhash, None),          # xxhash64: not in DuckDB
+    "dedup_minhash_variants": (_dedup_minhash_variants, None),  # xxhash64: not in DuckDB
+    "text_hash_signatures": (_text_hash_signatures, None),      # xxhash64: not in DuckDB
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
-    "embed_cosine_topk_lsh": (_embed_topk_lsh, None),  # single-probe ANN: recall<1 by design
-    "embed_cosine_topk_ivf": (_embed_topk_ivf, None),  # nprobe<n_centroids: recall<1 by design
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
-    "embed_neardup_lsh_blocked": (_embed_neardup_lsh_blocked, None),  # xxhash64 planes
+    "embed_ann_variants": (_embed_ann_variants, None),  # recall<1 by design
     # --- training-data ops: text analysis ---
     "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),
     "text_language_id": (
@@ -930,37 +1033,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         f"SELECT lang, {_lang_id_sql('duck')} AS lang_guess, count(*) AS cnt "
         "FROM documents GROUP BY 1, 2",
     ),
-    "doc_fingerprint": (_doc_fingerprint, None),       # xxhash64: not in DuckDB
-    "text_token_count_bpe": (
-        "SELECT doc_id, size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) "
-        "AS bpe_tokens FROM documents",
-        "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) "
-        "AS bpe_tokens FROM documents",
-    ),
-    # --- multimodal (binary payload + typed metadata; codec stubbed) ---
-    "multimodal_features": (_multimodal_features, None),
-    "multimodal_frame_sample": (_multimodal_frames, None),
-    "multimodal_resize": (_multimodal_resize, None),
-    # --- extraction core (Arrow UDFs: not SQL-expressible) ---
-    "extract_flagship": (_extract_flagship, None),
-    "extract_best_labels": (_extract_best_labels, None),
-    "extract_lineage_stats": (_extract_lineage_stats, None),
-    "full_pipeline_e1": (
-        lambda spark, sf_dir: __import__(
-            "ocr_auto_label_spark.plans.full_pipeline", fromlist=["run_full_pipeline"]
-        ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
-        None,
-    ),
+    # --- multimodal (binary payload + typed metadata; codec pluggable) ---
+    "multimodal_profile": (_multimodal_profile, None),
     # --- sinks/sources roundtrip (writes temp files; rows-only check) ---
     "s8_s9_csv_roundtrip": (_csv_roundtrip, None),
-    # --- structured streaming (availableNow drain; not SQL-expressible) ---
-    "streaming_windowed_counts": (_streaming_windowed_counts, None),
-    "streaming_stateful_totals": (_streaming_stateful_totals, None),
-    # --- stateful grouping (sequential-transitive fold) ---
-    "auto_group_transitive": (_auto_group_events, None),
-    # --- snapshot inference (±9-row window + Arrow matching UDF) ---
-    "infer_groups_snapshot": (_infer_groups_snapshot, None),
-    "infer_groups_keyed": (_infer_groups_keyed, None),
 }
 
 

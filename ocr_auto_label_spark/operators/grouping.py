@@ -120,6 +120,11 @@ def with_time_clusters(
 
     One window pass: new-cluster flag via lag(), then a running sum.
     Clusters are independent for the grouping fold (see module docstring).
+
+    SCALE HAZARD: with ``key_cols=[]`` the window is unpartitioned — one
+    task sorts everything (reference-semantics-only, for small snapshot
+    inputs).  At scale pass ``key_cols`` (conv_id / user_id analog); the
+    registered ``auto_group_transitive`` entry uses the keyed form.
     """
     key_cols = key_cols or []
     w = (Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()).orderBy(ts_col, "id")

@@ -57,6 +57,14 @@ def infer_groups(
     """Input columns: id, original_name, ts_ms, group, desc,
     colors (array<string> of hex).  Output: input + inferred_group +
     grouping_confidence (0.7 where inferred, null otherwise).
+
+    SCALE HAZARD: ``key_cols=[]`` (the reference's exact snapshot
+    semantics, groupInference.ts:354-366 — one global ±9-row ordering)
+    uses an unpartitioned window: ONE task sorts the whole input.  That
+    form is reference-semantics-only for small snapshots; at scale pass
+    ``key_cols`` (e.g. the source/ingest-batch column) so every key's
+    window sorts independently — this is the registered default
+    (``infer_groups_keyed`` in entry_queries.py).
     """
     key_cols = key_cols or []
     w = (

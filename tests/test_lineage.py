@@ -82,3 +82,59 @@ def test_part_bucket_deterministic(spark, paths):
     counts2 = {r.part_bucket: r["count"] for r in df.groupBy("part_bucket").count().collect()}
     assert counts == counts2
     assert set(counts) <= set(range(8))
+
+
+def test_iceberg_writer_branch_mocked(spark, monkeypatch):
+    """S7 Iceberg-conditional sink: no Iceberg jars in this sandbox, so
+    exercise the branch with the DataFrameWriterV2 surface mocked —
+    create-partitioned on first write, overwritePartitions() after."""
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.lineage import write_wave_output
+
+    calls = []
+
+    class FakeWriterV2:
+        def using(self, provider):
+            calls.append(f"using:{provider}")
+            return self
+
+        def partitionedBy(self, *cols):
+            calls.append("partitionedBy")
+            return self
+
+        def create(self):
+            calls.append("create")
+
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+
+    df = spark.range(3).withColumn("part_bucket", F.lit(0))
+    # patch the runtime class (pyspark.sql.classic.DataFrame) — the
+    # abstract base's writeTo is overridden there
+    monkeypatch.setattr(type(df), "writeTo", lambda self, table: FakeWriterV2())
+
+    monkeypatch.setattr(spark.catalog, "tableExists", lambda t: False)
+    write_wave_output(df, "cat.db.extracted", "iceberg")
+    assert calls == ["using:iceberg", "partitionedBy", "create"]
+
+    calls.clear()
+    monkeypatch.setattr(spark.catalog, "tableExists", lambda t: True)
+    write_wave_output(df, "cat.db.extracted", "iceberg")
+    assert calls == ["overwritePartitions"]
+
+
+def test_iceberg_real_write_requires_jars(spark):
+    """Without Iceberg jars the v2 writer fails with a clear provider
+    error (documenting what a user hits first); skip if jars present."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.lineage import write_wave_output
+
+    df = spark.range(3).withColumn("part_bucket", F.lit(0))
+    try:
+        write_wave_output(df, "default.__iceberg_probe", "iceberg")
+    except Exception:
+        return  # expected in this sandbox: no catalog/provider
+    pytest.skip("Iceberg catalog available — real write path covered")
