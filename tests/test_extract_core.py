@@ -113,3 +113,32 @@ def test_property_wrapping_invariant(label, template):
     cands = extract_candidates(template.format(l=label), None)
     assert [c.label for c in cands] == [label]
     assert cands[0].confidence == 1.0
+
+
+def test_normalize_gates_byte_identical_to_ungated():
+    """The match-impossible gates in normalize_text must never change the
+    output vs plain sequential application of NORMALIZE_STEPS."""
+    from ocr_auto_label_spark.datagen.transcripts import generate_transcripts
+    from ocr_auto_label_spark.labelcore.boilerplate import (
+        NORMALIZE_STEPS,
+        normalize_text,
+    )
+
+    def ungated(text: str) -> str:
+        for pattern, repl in NORMALIZE_STEPS:
+            text = pattern.sub(repl, text)
+        return text
+
+    adversarial = [
+        "", " ", "\t", "\r\nx\r", "```\nbody\n```", "a```b",
+        "x <b>tag</b> &amp;lt; &nbsp;", "line \nline\t\n", "a  b\tc",
+        "\n\n\n\nx\n\n\n", "  lead and trail  ", "\x1c\x1dmid\x85",
+        " nbsp-space thin", "Home | About | Contact",
+        "| Home |\ntext\n• Search •", "only\ttabs\t", " \t mixed \t ",
+        "&amp;amp;", "```json\n{\"k\": 1}\n```", "< not a tag",
+        "x ", "x\t", "\vx\f",
+    ]
+    pdf = generate_transcripts(4000, 11)
+    corpus = [t for t in pdf["text"].tolist() if isinstance(t, str)]
+    for t in adversarial + corpus:
+        assert normalize_text(t) == ungated(t), repr(t)
