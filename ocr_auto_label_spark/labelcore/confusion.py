@@ -14,7 +14,10 @@ Generation order is deterministic (position-major, table order) so that
 
 from __future__ import annotations
 
-from ocr_auto_label_spark.labelcore.grammar import is_valid_sample_code, match_pattern_id
+from ocr_auto_label_spark.labelcore.grammar import (
+    _PATTERNS_BY_ARITY,
+    match_pattern_id,
+)
 
 # Bidirectional confusion groups: each char may be misread as the others.
 # gemini.ts:94-98 (D/0, B/8), :166 (I/1); O/0 from the same prompt family.
@@ -64,6 +67,13 @@ def correction_candidates(code: str) -> list[tuple[str, int, str]]:
     """
     if not code or len(code) > MAX_TOKEN_LEN:
         return []
+    # arity fast-reject (exact): substitutions preserve the segment count
+    # and every period insertion adds exactly one, so all variants have
+    # arity n or n+1 — if no grammar pattern has either arity, every
+    # variant would fail validation anyway; skip the fan-out entirely
+    n = code.count(".") + 1
+    if n not in _PATTERNS_BY_ARITY and (n + 1) not in _PATTERNS_BY_ARITY:
+        return []
 
     out: list[tuple[str, int, str]] = []
     seen: set[str] = {code}
@@ -102,7 +112,8 @@ def correction_candidates(code: str) -> list[tuple[str, int, str]]:
 
 def best_correction(code: str) -> tuple[str, int, str] | None:
     """First valid correction (cheapest edit count, generation order)."""
-    if is_valid_sample_code(code):
-        return (code, 0, match_pattern_id(code))
+    pid = match_pattern_id(code)
+    if pid is not None:
+        return (code, 0, pid)
     cands = correction_candidates(code)
     return cands[0] if cands else None

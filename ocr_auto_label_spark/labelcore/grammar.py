@@ -127,6 +127,18 @@ def normalize_code(code: str) -> str:
 def _segment_ok(seg: str, d: Segment) -> bool:
     if seg == "" :
         return False
+    if d.type == "range":  # most common segment type — checked first
+        # fast path: plain ASCII digits are exactly what JS parseInt
+        # accepts wholesale (no sign/space handling needed)
+        if seg.isascii() and seg.isdigit():
+            num = int(seg)
+        else:
+            num = js_parse_int(seg)
+            if num is None:
+                return False
+        lo = d.min if d.min is not None else float("-inf")
+        hi = d.max if d.max is not None else float("inf")
+        return lo <= num <= hi
     if d.type == "fixed":
         if d.value == "[A-Z]{3}":
             return bool(_THREE_UPPER.match(seg))
@@ -134,13 +146,6 @@ def _segment_ok(seg: str, d: Segment) -> bool:
         if isinstance(d.value, list):
             return False
         return seg == d.value
-    if d.type == "range":
-        num = js_parse_int(seg)
-        if num is None:
-            return False
-        lo = d.min if d.min is not None else float("-inf")
-        hi = d.max if d.max is not None else float("inf")
-        return lo <= num <= hi
     if d.type == "rangeWithLetters":
         m = _RANGE_WITH_LETTERS.match(seg)
         if not m:
@@ -150,6 +155,16 @@ def _segment_ok(seg: str, d: Segment) -> bool:
         hi = d.max if d.max is not None else float("inf")
         return lo <= num <= hi and m.group(2) in d.letters
     return False
+
+
+# dispatch by segment count: only same-arity patterns can match, and
+# first-match table order is preserved within each arity bucket (patterns
+# of other arities are unreachable for that code, so skipping them cannot
+# change which pattern matches first)
+_PATTERNS_BY_ARITY: dict[int, tuple[Pattern, ...]] = {}
+for _p in SAMPLE_CODE_PATTERNS:
+    _PATTERNS_BY_ARITY.setdefault(len(_p.segments), ())
+    _PATTERNS_BY_ARITY[len(_p.segments)] += (_p,)
 
 
 def match_pattern_id(code: str | None) -> str | None:
@@ -162,10 +177,11 @@ def match_pattern_id(code: str | None) -> str | None:
     if not code:
         return None
     segments = normalize_code(code).split(".")
-    for pattern in SAMPLE_CODE_PATTERNS:
-        if len(segments) != len(pattern.segments):
-            continue
-        if all(_segment_ok(s, d) for s, d in zip(segments, pattern.segments)):
+    for pattern in _PATTERNS_BY_ARITY.get(len(segments), ()):
+        for s, d in zip(segments, pattern.segments):
+            if not _segment_ok(s, d):
+                break
+        else:
             return pattern.id
     return None
 

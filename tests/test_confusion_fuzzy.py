@@ -98,3 +98,46 @@ def test_property_single_confusion_recovered(label, data):
     got = best_correction(corrupted)
     assert got is not None, f"{label} → {corrupted} not repaired"
     assert got[1] == 1
+
+
+def test_optimized_matcher_equivalent_to_naive():
+    """The arity-dispatch matcher + digit fast path + correction arity
+    fast-reject must be observationally identical to the naive loop."""
+    import random
+
+    from ocr_auto_label_spark.labelcore.confusion import best_correction
+    from ocr_auto_label_spark.labelcore.grammar import (
+        SAMPLE_CODE_PATTERNS,
+        _segment_ok,
+        match_pattern_id,
+        normalize_code,
+    )
+
+    def naive_match(code):
+        if not code:
+            return None
+        segments = normalize_code(code).split(".")
+        for pattern in SAMPLE_CODE_PATTERNS:
+            if len(segments) != len(pattern.segments):
+                continue
+            if all(_segment_ok(s, d) for s, d in zip(segments, pattern.segments)):
+                return pattern.id
+        return None
+
+    rng = random.Random(7)
+    alphabet = "MWIKENAGO0123456789.B-D O8I1+"
+    samples = ["MWI.0.1.4.10.15.7", "MWI.0.1.4.1OB.15.7", "MW1.0.1.4.10.15.7",
+               "KEN.0.3.3.58.11", "AGO.1.0", "ago.1.0 ", "A.1", "", "x",
+               "11A", "MWI.1.2.15.7B.12.8", "NBO.12345.1.C", "1.2.3.4.5.6.7.8"]
+    samples += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+                for _ in range(4000)]
+    for s in samples:
+        assert match_pattern_id(s) == naive_match(s), s
+        # best_correction consistency: whatever it returns must validate,
+        # and a None means the naive full fan-out also finds nothing
+        norm = normalize_code(s)
+        res = best_correction(norm)
+        if res is not None:
+            label, edits, pid = res
+            assert match_pattern_id(label) == pid
+            assert 0 <= edits <= 2
