@@ -21,11 +21,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from ocr_auto_label_spark.labelcore.boilerplate import normalize_text
-from ocr_auto_label_spark.labelcore.confusion import best_correction
-from ocr_auto_label_spark.labelcore.extract import TOKEN_RE, Candidate, rank_candidates
-from ocr_auto_label_spark.labelcore.fuzzy import canonical_match
-from ocr_auto_label_spark.labelcore.grammar import normalize_code
-from ocr_auto_label_spark.labelcore.scoring import NOISE_THRESHOLD, confidence
+from ocr_auto_label_spark.labelcore.extract import _SOURCE_ORDER, TOKEN_RE, analyze_token
 from ocr_auto_label_spark.schemas import CANDIDATE_SCHEMA, EXTRACT_RESULT_SCHEMA
 
 
@@ -43,61 +39,51 @@ def normalize_text_udf(s: pd.Series) -> pd.Series:
     return _normalize_series(s)
 
 
-def _resolve_token(token: str, cache: dict) -> tuple | None:
-    """(label, pattern_id, corrections, canonical, sim, conf) or None (noise)."""
-    hit = cache.get(token, False)
-    if hit is not False:
-        return hit
-    norm = normalize_code(token)
-    corrected = best_correction(norm)
-    if corrected is None:
-        cache[token] = None
-        return None
-    label, edits, pattern_id = corrected
-    canon, sim = canonical_match(label)
-    conf = confidence(True, sim, edits)
-    res = None if conf <= NOISE_THRESHOLD else (label, pattern_id, edits, canon, sim, conf)
-    cache[token] = res
-    return res
-
-
-def _scan_row(raw: str, source_col: str, cache: dict) -> list[Candidate]:
+def _scan_row(raw: str, source_col: str) -> list[dict]:
+    """Token scan → candidate dicts (unranked).  Token analysis goes
+    through ``labelcore.extract.analyze_token`` — the SAME lru-cached
+    function the pure-Python oracle uses (one implementation, and the
+    cache persists across Arrow batches in a reused worker process)."""
     out = []
     for m in TOKEN_RE.finditer(raw):
-        res = _resolve_token(m.group(0), cache)
+        res = analyze_token(m.group(0))
         if res is None:
             continue
         label, pattern_id, edits, canon, sim, conf = res
-        out.append(Candidate(
-            label=label, raw=m.group(0), begin=m.start(), end=m.end(),
-            source_col=source_col, pattern_id=pattern_id, corrections=edits,
-            canonical=canon, canonical_sim=sim, confidence=conf,
-        ))
+        out.append({
+            "label": label, "raw": m.group(0), "begin": m.start(),
+            "end": m.end(), "source_col": source_col,
+            "pattern_id": pattern_id, "corrections": edits,
+            "canonical": canon, "canonical_sim": sim, "confidence": conf,
+            "rank": 0,
+        })
     return out
+
+
+def _rank_key(c: dict) -> tuple:
+    # identical ordering to labelcore.extract.rank_candidates (step 6)
+    return (-c["confidence"], _SOURCE_ORDER[c["source_col"]], c["begin"])
 
 
 def _extract_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     extracted = _normalize_series(text)
-    # vectorized prefilter: rows that can possibly hold a candidate token
-    has_text = text.str.contains(TOKEN_RE, na=False)
-    has_tool = tool.str.contains(TOKEN_RE, na=False)
-    cache: dict = {}
     cands_col: list[list[dict]] = []
     text_vals = text.to_numpy(dtype=object)
     tool_vals = tool.to_numpy(dtype=object)
-    ht = has_text.to_numpy()
-    hl = has_tool.to_numpy()
     for i in range(len(text_vals)):
-        cands: list[Candidate] = []
-        if ht[i]:
-            cands.extend(_scan_row(text_vals[i], "text", cache))
-        if hl[i]:
-            cands.extend(_scan_row(tool_vals[i], "tool", cache))
+        tv, lv = text_vals[i], tool_vals[i]
+        cands: list[dict] = []
+        # TOKEN_RE.finditer on a miss costs the same single scan a
+        # str.contains prefilter would — scan directly, no double pass
+        if isinstance(tv, str) and tv:
+            cands.extend(_scan_row(tv, "text"))
+        if isinstance(lv, str) and lv:
+            cands.extend(_scan_row(lv, "tool"))
         if len(cands) > 1:
-            cands = rank_candidates(cands)
-        elif cands:
-            cands = [Candidate(**{**cands[0].__dict__, "rank": 1})]
-        cands_col.append([c.__dict__ for c in cands])
+            cands.sort(key=_rank_key)
+        for r, c in enumerate(cands):
+            c["rank"] = r + 1
+        cands_col.append(cands)
     return pd.DataFrame({
         "extracted_text": extracted,
         "candidates": pd.Series(cands_col, index=text.index),

@@ -80,6 +80,25 @@ def trigram_similarity(a: str, b: str) -> float:
     return inter / (len(ta) + len(tb) - inter)
 
 
+@lru_cache(maxsize=256)
+def _bucket_deletion_index(prefix: str, arity: int) -> dict[str, tuple[str, ...]]:
+    """SymSpell-style d=1 index for one blocking bucket: every canonical
+    and each of its single-character deletions → the canonicals that
+    produced it.  Any pair within one edit shares a key (substitution at
+    i ⇒ equal deletions at i; insertion/deletion ⇒ one string IS a
+    deletion of the other), so probing a query's own deletion variants
+    yields a complete d≤1 candidate set — each candidate still verified
+    exactly with ``_within_one_edit``, so results are identical to the
+    full bucket scan at ~bucket_size/len(label) fewer comparisons."""
+    index: dict[str, tuple[str, ...]] = {}
+    for canon in canonical_blocks().get((prefix, arity), ()):
+        keys = {canon}
+        keys.update(canon[:i] + canon[i + 1:] for i in range(len(canon)))
+        for k in keys:
+            index[k] = index.get(k, ()) + (canon,)
+    return index
+
+
 @lru_cache(maxsize=1 << 16)
 def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, float]:
     """(matched canonical label, similarity in [0,1]).
@@ -96,7 +115,19 @@ def canonical_match(label: str, max_distance: int = 1) -> tuple[str | None, floa
     if label in canonical_label_set():
         return label, 1.0
     segs = label.split(".")
-    bucket = canonical_blocks().get((segs[0], len(segs)), ())
+    if max_distance == 1:
+        # deletion-index candidate generation (exact for d≤1), then the
+        # exact O(n) verification — same result set as the full scan
+        index = _bucket_deletion_index(segs[0], len(segs))
+        cands: set[str] = set()
+        for i in range(len(label) + 1):
+            probe = label if i == len(label) else label[:i] + label[i + 1:]
+            hit = index.get(probe)
+            if hit:
+                cands.update(hit)
+        bucket: tuple[str, ...] | set[str] = cands
+    else:
+        bucket = canonical_blocks().get((segs[0], len(segs)), ())
     best: tuple[int, float, str] | None = None
     for canon in bucket:
         if max_distance == 1:  # exact fast path (see _within_one_edit)

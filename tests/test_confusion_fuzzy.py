@@ -141,3 +141,50 @@ def test_optimized_matcher_equivalent_to_naive():
             label, edits, pid = res
             assert match_pattern_id(label) == pid
             assert 0 <= edits <= 2
+
+
+def test_deletion_index_match_equivalent_to_full_scan():
+    """canonical_match's SymSpell-style candidate generation must return
+    exactly what the full bucket scan returns, for hits and misses."""
+    import random
+
+    from ocr_auto_label_spark.labelcore.canonical import canonical_blocks
+    from ocr_auto_label_spark.labelcore.fuzzy import (
+        _within_one_edit,
+        canonical_match,
+        trigram_similarity,
+    )
+
+    def full_scan(label):
+        segs = label.split(".")
+        bucket = canonical_blocks().get((segs[0], len(segs)), ())
+        best = None
+        for canon in bucket:
+            d = 1 if _within_one_edit(label, canon) else 2
+            if d > 1:
+                continue
+            sim = trigram_similarity(label, canon)
+            if best is None or (d, -sim, canon) < (best[0], -best[1], best[2]):
+                best = (d, sim, canon)
+        return (None, 0.0) if best is None else (best[2], round(best[1], 6))
+
+    rng = random.Random(3)
+    all_canon = [c for b in canonical_blocks().values() for c in b]
+    samples = []
+    for _ in range(600):
+        c = rng.choice(all_canon)
+        i = rng.randrange(len(c))
+        op = rng.random()
+        if op < 0.4:   # substitution
+            s = c[:i] + rng.choice("0123456789ABXYZ.") + c[i + 1:]
+        elif op < 0.7:  # deletion
+            s = c[:i] + c[i + 1:]
+        else:           # insertion
+            s = c[:i] + rng.choice("0123456789ABXYZ.") + c[i:]
+        samples.append(s)
+    samples += ["ZZZ.9.9", "MWI", "", "MWI.0.1.4.10.15.77777"]
+    for s in samples:
+        if not s or s in set(all_canon):
+            continue
+        canonical_match.cache_clear()
+        assert canonical_match(s) == full_scan(s), s
