@@ -561,6 +561,9 @@ def _lifecycle_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") % 3 == 0, F.lit("MWI.0.1.4.10B.15.7"))
         .when(F.col("id") % 3 == 1, F.lit("bad group!"))
         .otherwise(F.lit("")).alias("new_group"),
+        # carrying old_group (known to the caller, as in the reference's
+        # PUT handler) lets the operator skip the derive-old-groups scan
+        F.col("group").alias("old_group"),
     )
     return apply_group_moves(frame, moves).select(
         "id", "group", "status",

@@ -50,6 +50,13 @@ def apply_group_moves(
     ``new_group`` NULL or '' ungroups the row.  Returns ``df``'s columns
     with ``group``, ``status``, ``grouping_confidence`` and ``new_name``
     updated; rows in unaffected groups are byte-identical to the input.
+
+    If ``moves`` carries an ``old_group`` column (the reference's PUT
+    handler reads the row before updating, images.ts:399-404, so callers
+    usually have it), the affected-group set is computed from the tiny
+    moves frame alone — saving two full scans of ``df`` at table scale.
+    Without it, old groups are derived via a broadcast join (semantics
+    identical; asserted by tests/test_lifecycle.py).
     """
     order_cols = order_cols or ["created_at", id_col]
     moved = moves.select(
@@ -85,10 +92,13 @@ def apply_group_moves(
     )
 
     # affected groups: old groups of moved rows ∪ their non-empty new groups
-    old_groups = (
-        df.join(F.broadcast(moved), F.col(id_col) == F.col("__mv_id"))
-        .select(F.col(group_col).alias("g"))
-    )
+    if "old_group" in moves.columns:
+        old_groups = moves.select(F.col("old_group").alias("g"))
+    else:
+        old_groups = (
+            df.join(F.broadcast(moved), F.col(id_col) == F.col("__mv_id"))
+            .select(F.col(group_col).alias("g"))
+        )
     new_groups = moved.select(
         F.when(F.trim(F.coalesce("__mv_group", F.lit(""))) == "", None)
         .otherwise(F.col("__mv_group")).alias("g")

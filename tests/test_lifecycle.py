@@ -106,3 +106,22 @@ def test_unaffected_group_keeps_stale_name(spark):
 def test_pure_python_twins_agree():
     assert sanitize_filename("bad group!") == "bad_group!"
     assert ext_last_dot("x.tar.gz") == ".gz"
+
+
+def test_old_group_column_path_identical(spark):
+    """moves carrying old_group (no derive-join) must produce exactly the
+    same result as deriving old groups from df."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([tuple(r.values()) for r in _rows()], COLS)
+    plain = spark.createDataFrame(
+        [(k, v) for k, v in MOVES.items()], "id: long, new_group: string"
+    )
+    old_map = {r["id"]: r["group"] for r in _rows()}
+    with_old = spark.createDataFrame(
+        [(k, v, old_map[k]) for k, v in MOVES.items()],
+        "id: long, new_group: string, old_group: string",
+    )
+    a = sorted(map(tuple, apply_group_moves(df, plain).collect()))
+    b = sorted(map(tuple, apply_group_moves(df, with_old).collect()))
+    assert a == b
