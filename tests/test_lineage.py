@@ -138,3 +138,35 @@ def test_iceberg_real_write_requires_jars(spark):
     except Exception:
         return  # expected in this sandbox: no catalog/provider
     pytest.skip("Iceberg catalog available — real write path covered")
+
+
+def test_crash_between_write_and_lineage_is_idempotent(spark, paths):
+    """A bucket whose output write landed but whose lineage append did NOT
+    (crash in between) has no lineage row → the rerun simply overwrites it;
+    final output is byte-identical to a clean run."""
+    import duckdb
+
+    # clean run → the golden output
+    run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"] + "_gold", paths["lineage"] + "_gold",
+        run_id="g", n_buckets=8, wave_size=8,
+    )
+    # simulated crash: outputs for ALL buckets written, lineage for NONE —
+    # exactly the write-then-die window
+    run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"], paths["lineage"] + "_tmp",
+        run_id="dead", n_buckets=8, wave_size=8,
+    )
+    # rerun with an empty lineage table for run_id 'r': nothing resumable,
+    # every bucket rewritten over the stale files (dynamic overwrite)
+    summary = run_extraction_with_checkpoint(
+        spark, paths["input"], paths["output"], paths["lineage"],
+        run_id="r", n_buckets=8, wave_size=8,
+    )
+    assert summary["buckets_resumed"] == 0
+    assert summary["buckets_processed"] == 8
+    diff = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT * FROM '{paths['output']}/*/*.parquet' "
+        f"EXCEPT SELECT * FROM '{paths['output']}_gold/*/*.parquet')"
+    ).fetchone()[0]
+    assert diff == 0

@@ -109,3 +109,29 @@ def test_stateful_conv_totals_match_batch(spark, tmp_path):
     from ocr_auto_label_spark.streaming.stateful import conv_running_totals
     plan = conv_running_totals(spark, str(inp))._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """availableNow + checkpoint: a second drain after new files arrive
+    appends exactly the new turns — no reprocessing, no duplicates (the
+    streaming twin of resume-from-lineage)."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.streaming.pipeline import stream_extraction
+
+    import pandas as pd
+
+    src = transcripts_parquet(2_000)
+    full = pd.read_parquet(src)
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    full.iloc[:1200].to_parquet(inp / "batch-0.parquet", index=False)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_extraction(spark, str(inp), out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 1200
+
+    full.iloc[1200:].to_parquet(inp / "batch-1.parquet", index=False)
+    stream_extraction(spark, str(inp), out, ckpt).awaitTermination()
+    total = spark.read.parquet(out)
+    assert total.count() == len(full)
+    assert total.select("conv_id", "turn_idx").distinct().count() == len(full)
