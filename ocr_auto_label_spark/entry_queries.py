@@ -442,24 +442,6 @@ def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_group(frame, key_cols=["user_id"])
 
 
-def _ordered_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/U5 exact notebook semantics: per-lang unique sources in
-    first-seen doc_id order + first non-empty scalar."""
-    from ocr_auto_label_spark.operators.merge_agg import (
-        first_non_null,
-        ordered_distinct_union,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    union = ordered_distinct_union(docs, "lang", "source", ["doc_id"]).select(
-        "lang", F.array_join("items", ";").alias("sources_in_order")
-    )
-    first = first_non_null(docs, "lang", "source", ["doc_id"]).select(
-        "lang", F.col("source").alias("first_source")
-    )
-    return union.join(first, "lang")
-
-
 def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (ordered CSV export + summary sidecar) → S9 (multi-CSV scan):
     the export/notebook boundary exercised end-to-end."""

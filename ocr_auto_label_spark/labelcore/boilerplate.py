@@ -92,6 +92,10 @@ _STEP_GATES: tuple = (
     None,                                        # 10. handled via str.strip()
 )
 
+# gates are positionally aligned with NORMALIZE_STEPS — adding a step
+# without its gate would silently shift every later gate one off
+assert len(_STEP_GATES) == len(NORMALIZE_STEPS)
+
 # CPython's sre unicode \s uses Py_UNICODE_ISSPACE — the exact predicate
 # behind str.isspace()/str.strip() — so step 10 (\A\s+|\s+\Z → '') is
 # byte-identical to str.strip().

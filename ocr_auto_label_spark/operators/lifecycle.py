@@ -63,6 +63,12 @@ def apply_group_moves(
         F.col(id_col).alias("__mv_id"),
         F.col("new_group").alias("__mv_group"),
     )
+    # moves must be one row per id (the reference PUT semantics are a
+    # dict of id → group); a duplicate would fan rows out through the
+    # left join and corrupt the output.  moves is interactive-edit-sized
+    # by contract, so the eager uniqueness check is one tiny job.
+    if moved.groupBy("__mv_id").count().filter("count > 1").limit(1).count():
+        raise ValueError("apply_group_moves: moves contains duplicate ids")
     joined = df.join(
         F.broadcast(moved), F.col(id_col) == F.col("__mv_id"), "left"
     )

@@ -125,3 +125,14 @@ def test_old_group_column_path_identical(spark):
     a = sorted(map(tuple, apply_group_moves(df, plain).collect()))
     b = sorted(map(tuple, apply_group_moves(df, with_old).collect()))
     assert a == b
+
+
+def test_duplicate_move_ids_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([tuple(r.values()) for r in _rows()], COLS)
+    dup = spark.createDataFrame(
+        [(2, "gA"), (2, "gC")], "id: long, new_group: string"
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        apply_group_moves(df, dup)
