@@ -34,7 +34,8 @@ from pyspark.sql.types import (
 from ocr_auto_label_spark.labelcore.similarity import (
     ACCEPT_THRESHOLD,
     TIME_WINDOW_MS,
-    grouping_score,
+    _color_part,
+    _text_tier,
 )
 
 GROUPED_SCHEMA = StructType([
@@ -66,11 +67,16 @@ def sequential_group_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
 
     rows = pdf.sort_values(["ts_ms", "id"]).to_dict("records")
-    # normalize Arrow artifacts (numpy arrays, NaN) to plain Python
+    # normalize Arrow artifacts (numpy arrays, NaN) to plain Python, and
+    # precompute the scorer's pair-cache keys once per row (lowered desc,
+    # color tuple) — the inner loop then scores via lru hits
     for row in rows:
         row["colors"] = _as_list(row.get("colors"))
         row["desc"] = _as_str(row.get("desc"))
         row["group"] = _as_str(row.get("group"))
+        row["_desc_l"] = row["desc"].lower() if row["desc"] else None
+        row["_colors_t"] = tuple(row["colors"])
+        row["_attr"] = (row["_desc_l"], row["_colors_t"])
     # rows are ts-sorted, so the ±window candidate set is the contiguous
     # slice [lo, hi) — bisect bounds turn the fold from O(n²) into
     # O(n·window_density) without changing iteration order (same
@@ -78,22 +84,46 @@ def sequential_group_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
     from bisect import bisect_left, bisect_right
 
     ts_sorted = [r["ts_ms"] for r in rows]
+    # pair-attribute score memo: the desc-tier + color components depend
+    # only on the two rows' (_desc_l, _colors_t) attrs, which repeat
+    # heavily inside a cluster — ONE dict hit replaces two lru calls; the
+    # per-pair time decay is inlined (grouping.ts:187-190)
+    pair_base: dict = {}
     # iterate targets in ascending timestamp (grouping.ts:33-38)
     for row in rows:
         if row["status"] not in _TARGET_STATUSES:
             continue
         best_score, best_group = 0.0, None
-        lo = bisect_left(ts_sorted, row["ts_ms"] - TIME_WINDOW_MS)
-        hi = bisect_right(ts_sorted, row["ts_ms"] + TIME_WINDOW_MS)
-        for cand in rows[lo:hi]:
-            if cand["id"] == row["id"]:
+        row_ts = row["ts_ms"]
+        row_id = row["id"]
+        row_attr = row["_attr"]
+        lo = bisect_left(ts_sorted, row_ts - TIME_WINDOW_MS)
+        hi = bisect_right(ts_sorted, row_ts + TIME_WINDOW_MS)
+        for i in range(lo, hi):
+            cand = rows[i]
+            if cand["id"] == row_id:
                 continue
+            # NOTE: cand["group"]/cand["status"] are re-read live each
+            # iteration — earlier targets may have just committed
+            # (transitivity), so eligibility cannot be precomputed
             if cand["group"] is None or cand["status"] not in _SOURCE_STATUSES:
                 continue
-            score = grouping_score(
-                row["desc"], cand["desc"], row["colors"], cand["colors"],
-                cand["ts_ms"] - row["ts_ms"],
-            )
+            k = (row_attr, cand["_attr"])
+            base = pair_base.get(k)
+            if base is None:
+                base = (
+                    _text_tier(row_attr[0], cand["_attr"][0])
+                    if row_attr[0] and cand["_attr"][0] else 0.0
+                ) + _color_part(row_attr[1], cand["_attr"][1])
+                pair_base[k] = base
+            # bit-identical to grouping_score's decay expression — scores
+            # feed strict > comparisons, so the float ops must not be
+            # algebraically rearranged
+            delta = cand["ts_ms"] - row_ts
+            if delta < 0:
+                delta = -delta
+            decay = 1.0 - (delta / TIME_WINDOW_MS)
+            score = base + (decay if decay > 0.0 else 0.0) * 0.2
             # strict > : first-seen wins on ties (grouping.ts:201)
             if score > best_score and score > ACCEPT_THRESHOLD:
                 best_score, best_group = score, cand["group"]

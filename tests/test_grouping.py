@@ -136,3 +136,30 @@ def test_auto_group_keeps_null_key_rows(spark):
     assert set(out) == {"a", "b", "c", "d"}  # nothing dropped
     assert out["b"].group == "g1" and out["b"].status == "auto_grouped"
     assert out["d"].group == "g2" and out["d"].status == "auto_grouped"
+
+
+def test_grouping_score_cached_equivalent():
+    """grouping_score_cached(pre-lowered/tupled) == grouping_score for
+    random inputs including empties/None."""
+    import random
+
+    from ocr_auto_label_spark.labelcore.similarity import (
+        grouping_score,
+        grouping_score_cached,
+    )
+
+    rng = random.Random(17)
+    descs = [None, "", "red notebook cover", "RED notebook Cover", "blue pen",
+             "red notebook cover photo", "x", "deep navy item", "light red thing"]
+    palettes = [[], ["red"], ["Dark Red", "blue"], ["navy"], ["#FF0000"],
+                ["crimson", "gold"], ["light blue", "grey"]]
+    for _ in range(3000):
+        d1, d2 = rng.choice(descs), rng.choice(descs)
+        c1, c2 = rng.choice(palettes), rng.choice(palettes)
+        dt = rng.randint(-200_000, 200_000)
+        want = grouping_score(d1, d2, c1, c2, dt)
+        got = grouping_score_cached(
+            d1.lower() if d1 else None, d2.lower() if d2 else None,
+            tuple(c1), tuple(c2), dt,
+        )
+        assert abs(want - got) < 1e-12, (d1, d2, c1, c2, dt)
