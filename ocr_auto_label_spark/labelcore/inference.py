@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import re
+from functools import lru_cache
 
 COMMON_WORDS = frozenset((
     "the a an and or but in on at to for of with by "
@@ -133,6 +134,36 @@ def has_matching_description(desc1: str | None, desc2: str | None) -> bool:
     return sum(1 for w in w1 if w in w2) >= 2
 
 
+# ---- cached pair predicates (identical results; descs/colors repeat
+# heavily across a snapshot's overlapping ±9-row windows, so the per-pair
+# work collapses to lru hits — equivalence asserted in test_inference) ----
+
+@lru_cache(maxsize=1 << 15)
+def _meaningful_cached(text: str) -> tuple[tuple[str, ...], frozenset[str]]:
+    words = tuple(extract_meaningful_words(text))
+    return words, frozenset(words)
+
+
+@lru_cache(maxsize=1 << 16)
+def _desc_match_cached(desc1: str | None, desc2: str | None) -> bool:
+    if not desc1 or not desc2:
+        return False
+    w1, _ = _meaningful_cached(desc1)
+    _, set2 = _meaningful_cached(desc2)
+    # membership in the set is semantically identical to the reference's
+    # words2.includes(w); each w1 occurrence still counts once
+    return sum(1 for w in w1 if w in set2) >= 2
+
+
+@lru_cache(maxsize=1 << 16)
+def _colors_match_cached(colors1: tuple[str, ...] | None,
+                         colors2: tuple[str, ...] | None) -> bool:
+    return has_matching_colors(
+        list(colors1) if colors1 is not None else None,
+        list(colors2) if colors2 is not None else None,
+    )
+
+
 def infer_group(
     target_desc: str | None,
     target_colors: list[str] | None,
@@ -142,12 +173,15 @@ def infer_group(
     keep labeled neighbors matching BOTH description and colors, pick the
     most recent by timestamp (ts:383-410).  ``neighbors`` dicts carry
     group/desc/colors/ts_ms."""
+    tcol = tuple(target_colors) if target_colors is not None else None
     matches = [
         n for n in neighbors
         if n.get("group")
         and str(n["group"]).strip() != ""
-        and has_matching_description(target_desc, n.get("desc"))
-        and has_matching_colors(target_colors, n.get("colors"))
+        and _desc_match_cached(target_desc, n.get("desc"))
+        and _colors_match_cached(
+            tcol, tuple(n["colors"]) if n.get("colors") is not None else None
+        )
     ]
     if not matches:
         return None

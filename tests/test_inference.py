@@ -120,3 +120,31 @@ def test_spark_inference_equals_snapshot_oracle(spark, seed):
            if r.group is None}
     assert got == want
     assert any(v is not None for v in want.values()), "fixture must infer something"
+
+
+def test_cached_pair_predicates_equivalent():
+    """_desc_match_cached / _colors_match_cached == the uncached reference
+    predicates over randomized inputs."""
+    import random
+
+    from ocr_auto_label_spark.labelcore.inference import (
+        _colors_match_cached,
+        _desc_match_cached,
+        has_matching_colors,
+        has_matching_description,
+    )
+
+    rng = random.Random(23)
+    descs = [None, "", "red notebook cover photo", "the a an of notebook cover",
+             "red red notebook", "tiny", "notebook cover red extras here",
+             "Shiny RED Notebook-Cover!", "cover cover cover"]
+    pals = [None, [], ["#FF0000"], ["#FF0000", "#00FF00"], ["#FFFFFF"],
+            ["#808080", "#000000"], ["zzz"], ["#D2B48C"], ["#FF0000", "#FFFFFF",
+            "#00FF00", "#0000FF"]]
+    for _ in range(4000):
+        d1, d2 = rng.choice(descs), rng.choice(descs)
+        c1, c2 = rng.choice(pals), rng.choice(pals)
+        assert _desc_match_cached(d1, d2) == has_matching_description(d1, d2), (d1, d2)
+        t1 = tuple(c1) if c1 is not None else None
+        t2 = tuple(c2) if c2 is not None else None
+        assert _colors_match_cached(t1, t2) == has_matching_colors(c1, c2), (c1, c2)
