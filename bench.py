@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "w8_session_window",
     "a6_ordered_distinct_union",
     "lifecycle_e2_reindex",
+    "infer_groups_keyed",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_variants",
