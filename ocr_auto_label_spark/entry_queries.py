@@ -524,7 +524,12 @@ def _lifecycle_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
     images.ts:39-59) on a documents-derived frame: every 7th doc moves —
     to a valid sample-code group (id%3==0), an invalid-name group
     (id%3==1), or out of any group (id%3==2); then ONLY the affected
-    groups are re-indexed and statuses recomputed."""
+    groups are re-indexed and statuses recomputed.
+
+    The 1-in-7 move set is TEST-SCALE densification (so every status
+    branch gets rows at sf0.01); the operator's contract is
+    interactive-edit-sized moves (≪ table — the reference PUT handles one
+    edit at a time), which is what justifies its broadcast joins."""
     from ocr_auto_label_spark.operators.lifecycle import apply_group_moves
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
