@@ -131,3 +131,36 @@ def test_media_profile_combines_three_pipelines(spark):
         assert r.payload_bytes > 0 and r.target_width >= 1
     assert all(r.n_frames >= 1 for r in by_type["video"])
     assert all(r.n_frames == 0 for r in by_type["image"])
+
+
+def test_wav_codec_decodes_real_audio(spark):
+    """Audio payloads are genuine WAV/PCM16 and the stdlib codec recovers
+    a meaningful RMS envelope: a pure sine's per-segment RMS ≈ A/√2."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ocr_auto_label_spark.operators.multimodal import (
+        FEATURE_DIM,
+        WavAudioCodec,
+        extract_features,
+        synth_media,
+    )
+
+    # known signal: 0.5-amplitude sine → RMS 0.5/√2 ≈ 0.3536 per segment
+    sr, n = 8000, 3200
+    t = np.arange(n) / sr
+    pcm = np.clip(0.5 * np.sin(2 * np.pi * 440 * t) * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    feats = WavAudioCodec.decode_wav(buf.getvalue())
+    assert feats.shape == (FEATURE_DIM,)
+    assert all(abs(v - 0.3536) < 0.02 for v in feats)
+
+    # the synthetic table's audio rows decode for real end-to-end
+    out = extract_features(synth_media(spark, n=9), codec=WavAudioCodec()).collect()
+    audio = [r for r in out if r.media_type == "audio"]
+    assert audio and all(0.0 < max(r.feature) < 1.0 for r in audio)
