@@ -182,6 +182,45 @@ def ivf_topk(
     return brute_force_topk(cell, [float(v) for v in query_vec], k, vec_col, id_col)
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: assign clusters, write parquet
+    partitioned by ``ivf_cluster``.  A probe then reads ONLY its nprobe
+    cells — partition pruning at the file-listing level, which is what
+    makes IVF sub-linear at 10^9 vectors (asserted by a physical-plan
+    test).  Returns the centroid list (store it with the index)."""
+    assigned, centroids = ivf_assign(df, n_centroids, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    return centroids
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a materialized IVF index: pick nprobe cells on the
+    driver (tiny centroid table), scan only those partitions."""
+    import numpy as np
+
+    q = np.asarray([float(v) for v in query_vec])
+    cmat = np.asarray([v for _, v in centroids])
+    sims = (cmat @ q) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [centroids[i][0] for i in np.argsort(-sims)[:nprobe]]
+    cell = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    return brute_force_topk(cell, [float(v) for v in query_vec], k, vec_col, id_col)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     block_cols: list[str],

@@ -107,3 +107,56 @@ def test_extraction_stage_has_no_shuffle(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """A materialized IVF index read with an nprobe cell filter prunes at
+    the partition level — the scan's partition filters carry ivf_cluster
+    and results match brute force on the probed cells."""
+    from ocr_auto_label_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+         .select("embedding").collect()[0].embedding]
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_write_index(emb, path, n_centroids=8)
+    top = ivf_probe_index(spark, path, centroids, q, k=5, nprobe=2)
+    plan = _plan(top)
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters")[1][:200]
+    rows = top.collect()
+    assert len(rows) == 5
+    assert rows[0].cosine >= rows[-1].cosine
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Pre-bucketed tables joined on the bucket key need NO Exchange —
+    the co-located-join strategy SCALE.md commits to for repeated big
+    joins on conv_id-like keys."""
+    import uuid
+
+    name_a = f"b_turns_{uuid.uuid4().hex[:8]}"
+    name_b = f"b_labels_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # managed tables land in the session's spark-warehouse dir (static
+    # conf); DROP TABLE below removes their data.  Disable auto-broadcast
+    # so the demo exercises the sort-merge path a BIG-big join takes —
+    # that's where bucketing removes the shuffle.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (docs.select("doc_id", "lang").write.bucketBy(8, "doc_id")
+         .sortBy("doc_id").format("parquet").saveAsTable(name_a))
+        (docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id")
+         .sortBy("doc_id").format("parquet").saveAsTable(name_b))
+        joined = spark.table(name_a).join(spark.table(name_b), "doc_id")
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: co-located buckets
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
