@@ -375,6 +375,26 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3)
 
 
+def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index ANN path: write the IVF index partitioned by
+    cluster, probe nprobe cells via partition-pruned scans (the layout
+    that makes IVF sub-linear at 10^9 vectors — PartitionFilters asserted
+    in tests/test_physical_plans.py).  Rows-only: recall < 1 by design."""
+    import tempfile
+
+    from ocr_auto_label_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    centroids = ivf_write_index(emb, path, n_centroids=16)
+    return ivf_probe_index(
+        spark, path, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
+
+
 def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three approximate paths in one entry (recall < 1 by design →
     rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, and
@@ -1033,6 +1053,8 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "multimodal_profile": (_multimodal_profile, None),
     # --- sinks/sources roundtrip (writes temp files; rows-only check) ---
     "s8_s9_csv_roundtrip": (_csv_roundtrip, None),
+    # --- materialized IVF index probe (writes temp index; rows-only) ---
+    "embed_ivf_index_probe": (_embed_ivf_index_probe, None),
 }
 
 
