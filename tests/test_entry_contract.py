@@ -99,3 +99,11 @@ def test_entry_smoke(spark):
     assert {"conv_id", "turn_idx", "extracted_text", "label", "rank"} <= set(df.columns)
     # extraction actually found labels in the synthetic batch
     assert df.filter(df.label.isNotNull()).count() > 0
+
+
+def test_registry_fits_driver_evaluation_window():
+    """The driver evaluates only the first 50 registry entries — every
+    entry must stay inside that window (merge entries, don't append
+    past 50; see COVERAGE.md)."""
+    assert len(REGISTRY) <= 50
+    assert len(entry_mod.oracle_sql()) >= 37  # oracle coverage must not regress
