@@ -29,16 +29,22 @@ def export_csv(df: DataFrame, out_dir: str, order_cols: list[str] | None = None,
     coalesce(1) — correct for exports that a human consumes; leave False
     for large outputs so the write stays parallel.
     """
+    from pyspark.sql import Observation
+
     order_cols = order_cols or ["ts"]
     out = df.orderBy(*order_cols)
     # serialize any array/struct columns to JSON at the boundary (X13)
     for name, dtype in out.dtypes:
         if dtype.startswith(("array", "struct", "map")):
             out = out.withColumn(name, F.to_json(F.col(name)))
+    # the summary count rides the write as an observed metric — ONE scan
+    # per export, instead of re-running the whole source plan for df.count()
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").option("header", True).csv(os.path.join(out_dir, "csv"))
-    summary = {"totalImages": df.count()}
+    summary = {"totalImages": obs.get["n"]}
     with open(os.path.join(out_dir, "export-summary.json"), "w") as f:
         json.dump(summary, f)
     return summary

@@ -36,15 +36,22 @@ def punct_ratio(col: Column) -> Column:
     return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
 
 
+def panel_hits(toks: Column, lang: str) -> Column:
+    """|tokens ∩ panel| for one language over an ALREADY-SPLIT token array.
+
+    This is the single-split formulation the registered ``text_language_id``
+    entry uses (entry_queries._lang_id_query_sql generates its SQL from the
+    same LANG_STOPWORDS table): semantically identical to summing
+    ``array_contains`` per stopword — the panels are distinct words, so
+    |tokens ∩ panel| = Σ contains — but without re-splitting the text once
+    per stopword (~20 re-splits per row; 2× slower measured)."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     """Number of panel stopwords for `lang` present in the text (0-5)."""
-    words = LANG_STOPWORDS[lang]
-    toks = word_tokens(col)
-    hit = None
-    for w in words:
-        h = F.array_contains(toks, w).cast("int")
-        hit = h if hit is None else hit + h
-    return hit
+    return panel_hits(word_tokens(col), lang)
 
 
 def quality_score(col: Column) -> Column:
@@ -64,11 +71,18 @@ def language_id(col: Column) -> Column:
     Deterministic tie-break: strict ``>`` while visiting languages in
     ascending lexicographic order ⇒ highest score wins, ties go to the
     lexicographically smallest language.
+
+    All four per-language scores share ONE token-split subtree
+    (``panel_hits`` over a single ``word_tokens`` Column) — identical
+    subtrees collapse to one evaluation under Spark's subexpression
+    elimination, matching the single-split named-score plan of the
+    registered ``text_language_id`` entry.
     """
+    toks = word_tokens(col)
     guess = F.lit("und")
     best = F.lit(0)
     for lang in sorted(LANG_STOPWORDS):
-        score = stopword_hits(col, lang)
+        score = panel_hits(toks, lang)
         guess = F.when(score > best, F.lit(lang)).otherwise(guess)
         best = F.greatest(best, score)
     return guess
