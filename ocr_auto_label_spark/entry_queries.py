@@ -318,39 +318,54 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH dedup, char-5-shingle AND word-3-shingle variants in
-    one plan (variant column distinguishes them).
+    """The xxhash64 sketch family in one entry (no DuckDB analog →
+    rows-only): MinHash+LSH dedup with char-5-shingle AND word-3-shingle
+    variants, plus the per-doc SimHash and rolling-hash fingerprint
+    signatures (merged from r2's text_hash_signatures to free a window
+    slot).  Normalized to (variant, id_a, id_b, val); signature rows
+    carry id_b = NULL and the 64-bit signature as a string in val.
 
     0.7 threshold: the synthetic corpus shares one small vocabulary, so
     baseline pairwise Jaccard sits ≈0.35 — a lower threshold would make
     *every* pair a near-dup and the query degenerate to O(n²) exact
     verification.  Word 3-shingles are the document-scale variant
     (~6× fewer shingles per doc)."""
-    from ocr_auto_label_spark.operators.dedup import minhash_lsh_dedup, word_shingles
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    char = minhash_lsh_dedup(docs, threshold=0.7).withColumn(
-        "variant", F.lit("char5")
+    from ocr_auto_label_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash64,
+        word_shingles,
     )
-    word = minhash_lsh_dedup(
-        docs, threshold=0.7, shingle_width=3, shingle_fn=word_shingles
-    ).withColumn("variant", F.lit("word3"))
-    return char.unionByName(word)
-
-
-def _text_hash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash + rolling-hash document fingerprint — both per-doc 64-bit
-    signatures, one narrow scan (xxhash64 has no DuckDB analog →
-    rows-only by design)."""
-    from ocr_auto_label_spark.operators.dedup import simhash64
     from ocr_auto_label_spark.operators.textstats import doc_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
+
+    def norm_pairs(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("jaccard").cast("string").alias("val"),
+        )
+
+    char = norm_pairs(minhash_lsh_dedup(docs, threshold=0.7), "char5")
+    word = norm_pairs(
+        minhash_lsh_dedup(docs, threshold=0.7, shingle_width=3, shingle_fn=word_shingles),
+        "word3",
+    )
+    sigs = docs.select(
+        F.col("doc_id").alias("id_a"),
         simhash64("text").alias("simhash"),
         doc_fingerprint("text").alias("fingerprint"),
     )
+    sim = sigs.select(
+        F.lit("simhash").alias("variant"), F.col("id_a").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"), F.col("simhash").cast("string").alias("val"),
+    )
+    fp = sigs.select(
+        F.lit("fingerprint").alias("variant"), F.col("id_a").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"), F.col("fingerprint").cast("string").alias("val"),
+    )
+    return char.unionByName(word).unionByName(sim).unionByName(fp)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -396,12 +411,14 @@ def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three approximate paths in one entry (recall < 1 by design →
-    rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, and
-    near-dup pairs blocked by the computed LSH signature (the composition
-    that scales to unlabeled corpora — the blocking key is computed, not
-    given).  Normalized to (variant, id_a, id_b, cosine); for the top-k
-    variants id_a is the query vector's id (0)."""
+    """All four approximate paths in one entry (recall < 1 by design →
+    rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, the
+    MATERIALIZED-index probe (write partitioned by cluster, probe via
+    partition-pruned scans — r2's 50th entry, merged here to free a
+    window slot), and near-dup pairs blocked by the computed LSH
+    signature (the composition that scales to unlabeled corpora — the
+    blocking key is computed, not given).  Normalized to (variant, id_a,
+    id_b, cosine); for the top-k variants id_a is the query's id (0)."""
     from ocr_auto_label_spark.operators.similarity import (
         cosine_neardup_pairs,
         hyperplane_signature,
@@ -422,6 +439,7 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh = norm_topk(lsh_bucketed_topk(emb, q, k=10, bits=4), "lsh_topk")
     ivf = norm_topk(ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4), "ivf_topk")
+    idx = norm_topk(_embed_ivf_index_probe(spark, sf_dir), "ivf_index_probe")
     blocked = cosine_neardup_pairs(
         emb.withColumn("lsh_sig", hyperplane_signature("embedding", bits=6)),
         block_cols=["lsh_sig"],
@@ -432,7 +450,7 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
     )
-    return lsh.unionByName(ivf).unionByName(blocked)
+    return lsh.unionByName(ivf).unionByName(idx).unionByName(blocked)
 
 
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +497,45 @@ def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.length("tags")).alias("tag_json_chars"),
     )
+
+
+_EXPORT_SHAPE_SPARK = (
+    # images.ts:799-814: ISO timestamp + empty-string defaults per column
+    "SELECT 'export_shape' AS variant, CAST(event_id AS STRING) AS k, "
+    "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS v1, "
+    "coalesce(nullif(event_type, 'click'), '') AS v2 FROM events"
+)
+
+
+def _s8_s9_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 export shape + the FULL S8→S9 CSV roundtrip in one oracle-backed
+    entry (variant column).  The roundtrip half writes an ordered
+    single-file CSV (nested cols serialized via to_json at the boundary),
+    reads it back through the multi-CSV source, and aggregates — the
+    oracle replicates the post-roundtrip aggregate, incl. the exact
+    to_json array formatting '["a","b"]' (deterministic: 7 framing chars
+    for a 2-element string array)."""
+    load_views(spark, sf_dir)
+    shape = spark.sql(_EXPORT_SHAPE_SPARK)
+    rt = _csv_roundtrip(spark, sf_dir).select(
+        F.lit("csv_roundtrip").alias("variant"),
+        F.col("lang").alias("k"),
+        F.col("cnt").cast("string").alias("v1"),
+        F.col("tag_json_chars").cast("string").alias("v2"),
+    )
+    return shape.unionByName(rt)
+
+
+_DUCK_S8_S9 = """
+SELECT 'export_shape' AS variant, CAST(event_id AS VARCHAR) AS k,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS v1,
+       coalesce(nullif(event_type, 'click'), '') AS v2 FROM events
+UNION ALL
+SELECT 'csv_roundtrip' AS variant, lang AS k,
+       CAST(count(*) AS VARCHAR) AS v1,
+       CAST(sum(length(lang) + length(source) + 7) AS VARCHAR) AS v2
+FROM documents GROUP BY lang
+"""
 
 
 def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,13 +944,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "ELSE '.heic' END), '\\.([^.]*)$', 1)) AS ext, count(*) AS cnt "
         "FROM documents GROUP BY 1) q2",
     ),
-    "s8_export_shape": (
-        # images.ts:799-814: ISO timestamp + empty-string defaults per column
-        "SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_iso, "
-        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
-        "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_iso, "
-        "coalesce(nullif(event_type, 'click'), '') AS status_field FROM events",
-    ),
+    # S8 export shape + full S8→S9 CSV roundtrip, both oracle-backed
+    # (merged from r2's s8_export_shape + rows-only s8_s9_csv_roundtrip)
+    "s8_s9_export_roundtrip": (_s8_s9_export_roundtrip, _DUCK_S8_S9),
     # --- aggregations (A2/A4/A6/A8 + F7/F8 null coercion) ---
     "a8_hit_rate_tally": (
         # grouping.ts:114 success tally → our per-partition hit-rate metric
@@ -1040,8 +1093,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "same",
     ),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
-    "dedup_minhash_variants": (_dedup_minhash_variants, None),  # xxhash64: not in DuckDB
-    "text_hash_signatures": (_text_hash_signatures, None),      # xxhash64: not in DuckDB
+    # xxhash64 sketch family (MinHash/LSH pairs + SimHash + fingerprint
+    # signatures): xxhash64 has no DuckDB analog → rows-only
+    "dedup_minhash_variants": (_dedup_minhash_variants, None),
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
@@ -1051,10 +1105,6 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "text_language_id": (_lang_id_spark, _lang_id_query_sql("duck")),
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
     "multimodal_profile": (_multimodal_profile, None),
-    # --- sinks/sources roundtrip (writes temp files; rows-only check) ---
-    "s8_s9_csv_roundtrip": (_csv_roundtrip, None),
-    # --- materialized IVF index probe (writes temp index; rows-only) ---
-    "embed_ivf_index_probe": (_embed_ivf_index_probe, None),
 }
 
 
