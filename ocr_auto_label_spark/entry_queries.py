@@ -196,6 +196,30 @@ def _grammar_validate_duck() -> str:
     )
 
 
+def _x4_confusion_repair_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 confusion correction under the driver oracle (VERDICT r2 #1):
+    the exact best_correction fan-out — substitutions → period insertions
+    → two-edit composites, first-grammar-valid-wins — compiled to SQL
+    (functions/confusion_sql.py) over the shared fixture.  The pure-Python
+    twin equality is asserted byte-for-byte in tests/test_confusion_fuzzy.py;
+    reference semantics gemini.ts:94-98, 107-114, 166."""
+    from ocr_auto_label_spark.functions.confusion_sql import (
+        X4_FIXTURE_CODES,
+        repair_select_sql,
+    )
+
+    return spark.sql(repair_select_sql("spark", list(X4_FIXTURE_CODES)))
+
+
+def _x4_confusion_repair_duck() -> str:
+    from ocr_auto_label_spark.functions.confusion_sql import (
+        X4_FIXTURE_CODES,
+        repair_select_sql,
+    )
+
+    return repair_select_sql("duck", list(X4_FIXTURE_CODES))
+
+
 def _fuzzy_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.fuzzy_join import fuzzy_canonical_join
 
@@ -842,6 +866,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     ),
     # --- scalar-function suites (X1-X17) ---
     "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
+    "x4_confusion_repair": (_x4_confusion_repair_spark, _x4_confusion_repair_duck()),
     "x10_color_family": (_color_family_sql(), "same"),
     # W6/X12: emit the exact BIGINT decay units greatest(0, 120-Δ) — the
     # score is the fixed linear map 0.2/120·units, and round(double, 6)

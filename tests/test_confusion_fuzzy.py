@@ -188,3 +188,53 @@ def test_deletion_index_match_equivalent_to_full_scan():
             continue
         canonical_match.cache_clear()
         assert canonical_match(s) == full_scan(s), s
+
+
+def test_x4_sql_twin_matches_python(spark):
+    """The X4 SQL twin (functions/confusion_sql.py — the registered
+    x4_confusion_repair entry) equals the pure-Python best_correction on
+    the shared fixture, byte for byte.  The driver separately compares
+    the Spark dialect against the DuckDB dialect; together the three
+    formulations triangulate."""
+    from ocr_auto_label_spark.functions.confusion_sql import (
+        X4_FIXTURE_CODES,
+        repair_select_sql,
+    )
+    from ocr_auto_label_spark.labelcore.grammar import normalize_code
+
+    rows = spark.sql(repair_select_sql("spark", list(X4_FIXTURE_CODES))).collect()
+    assert len(rows) == len(X4_FIXTURE_CODES)
+    for r in rows:
+        want = best_correction(normalize_code(r.code)) or (None, None, None)
+        assert (r.repaired, r.edits, r.pattern_id) == want, r.code
+
+
+def test_x4_sql_twin_matches_python_on_random_corruptions(spark):
+    """Deterministic fuzz: corrupt canonical labels with confusion swaps
+    and dropped periods, require SQL twin == Python on every token."""
+    import random
+
+    from ocr_auto_label_spark.functions.confusion_sql import repair_select_sql
+    from ocr_auto_label_spark.labelcore.grammar import normalize_code
+
+    rng = random.Random(7)
+    tokens = []
+    for label, _ in canonical_labels()[::17]:
+        t = label
+        for _ in range(rng.randint(0, 2)):
+            kind = rng.random()
+            if kind < 0.6:
+                idxs = [i for i, ch in enumerate(t) if ch in _CONFUSE]
+                if idxs:
+                    i = rng.choice(idxs)
+                    t = t[:i] + _CONFUSE[t[i]] + t[i + 1:]
+            else:
+                dots = [i for i, ch in enumerate(t) if ch == "."]
+                if len(dots) > 1:
+                    i = rng.choice(dots[1:])
+                    t = t[:i] + t[i + 1:]
+        tokens.append(t)
+    rows = spark.sql(repair_select_sql("spark", tokens)).collect()
+    for r in rows:
+        want = best_correction(normalize_code(r.code)) or (None, None, None)
+        assert (r.repaired, r.edits, r.pattern_id) == want, r.code
