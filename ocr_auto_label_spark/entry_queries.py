@@ -196,6 +196,77 @@ def _grammar_validate_duck() -> str:
     )
 
 
+# Step-1-of-the-flagship token scan (labelcore/extract.py TOKEN_RE) as a
+# dialect-neutral query: RE2 (DuckDB) lacks lookarounds, so the scan regex
+# consumes a boundary char into the match and captures the token as group 1
+# — equivalence with TOKEN_RE (lookbehind class == consumed-prefix class;
+# the trailing lookahead is redundant under greedy matching because any
+# given-back tail chars are '.'/'-') is asserted offset-exact against
+# Python finditer in tests/test_extract_spark.py.
+_SCAN_RX = "(?:^|[^A-Za-z0-9.-])([A-Za-z0-9]{3}[.-][A-Za-z0-9][A-Za-z0-9.-]*[A-Za-z0-9])"
+
+
+def _token_scan_sql(dialect: str) -> str:
+    """Token span scan + grammar validity (flagship steps 1-3 minus
+    repair) under the driver oracle: scan text synthesized from documents
+    (injected label tokens — valid, corrupt, lowercase, junk — around a
+    sanitized prose fragment), emit (token, 0-based begin/end offsets,
+    pattern_id, is_valid) per match.  Offsets are reconstructed from the
+    split/extract-all arrays: begin_p = Σ|segs≤p| + Σ|fulls<p| + the
+    consumed-boundary width of match p."""
+    cast_str = "STRING" if dialect == "spark" else "VARCHAR"
+    gflag = "" if dialect == "spark" else ", 'g'"
+    frag = f"regexp_replace(lower(substring(text, 1, 60)), '[^a-z ]', ''{gflag})"
+    src = (
+        "SELECT doc_id, concat('see ', "
+        "CASE WHEN doc_id % 4 = 0 THEN 'MW1.1.2.15.7B.12.8' "
+        "WHEN doc_id % 4 = 1 THEN 'ago.10 and KEN.0.2.3.5.8.11' "
+        "WHEN doc_id % 4 = 2 THEN 'ZZZ.99.Q near AB1.2x' "
+        "ELSE 'plain prose only' END, ' ', "
+        f"{frag}, ' tail MWI.0.1.4.', CAST(doc_id % 20 AS {cast_str}), '.15.7') AS s "
+        "FROM documents"
+    )
+    if dialect == "spark":
+        arrays = (
+            f"SELECT doc_id, s, split(s, '{_SCAN_RX}') AS segs, "
+            f"regexp_extract_all(s, '{_SCAN_RX}', 0) AS fulls, "
+            f"regexp_extract_all(s, '{_SCAN_RX}', 1) AS toks FROM src"
+        )
+        exploded = (
+            "SELECT doc_id, CAST(pos + 1 AS INT) AS tok_idx, token, "
+            "CAST(aggregate(slice(segs, 1, pos + 1), 0, (a, x) -> a + length(x)) "
+            "+ aggregate(slice(fulls, 1, pos), 0, (a, x) -> a + length(x)) "
+            "+ length(element_at(fulls, pos + 1)) - length(token) AS BIGINT) AS begin_off "
+            "FROM m LATERAL VIEW posexplode(toks) t AS pos, token"
+        )
+    else:
+        arrays = (
+            f"SELECT doc_id, s, regexp_split_to_array(s, '{_SCAN_RX}') AS segs, "
+            f"regexp_extract_all(s, '{_SCAN_RX}', 0) AS fulls, "
+            f"regexp_extract_all(s, '{_SCAN_RX}', 1) AS toks FROM src"
+        )
+        exploded = (
+            "SELECT doc_id, CAST(p AS INT) AS tok_idx, toks[p] AS token, "
+            "CAST(coalesce(list_sum(list_transform(segs[1:p], x -> length(x))), 0) "
+            "+ coalesce(list_sum(list_transform(fulls[1:p-1], x -> length(x))), 0) "
+            "+ length(fulls[p]) - length(toks[p]) AS BIGINT) AS begin_off "
+            "FROM (SELECT doc_id, segs, fulls, toks, "
+            "unnest(range(1, len(toks) + 1)) AS p FROM m) e"
+        )
+    pid = pattern_id_sql("token")
+    return (
+        f"WITH src AS ({src}), m AS ({arrays}), x AS ({exploded}) "
+        f"SELECT doc_id, tok_idx, token, begin_off, "
+        f"begin_off + length(token) AS end_off, {pid} AS pattern_id, "
+        f"CAST(({pid}) IS NOT NULL AS INT) AS is_valid FROM x"
+    )
+
+
+def _token_scan_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_token_scan_sql("spark"))
+
+
 def _x4_confusion_repair_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 confusion correction under the driver oracle (VERDICT r2 #1):
     the exact best_correction fan-out — substitutions → period insertions
@@ -867,6 +938,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- scalar-function suites (X1-X17) ---
     "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
     "x4_confusion_repair": (_x4_confusion_repair_spark, _x4_confusion_repair_duck()),
+    "token_span_scan": (_token_scan_spark, _token_scan_sql("duck")),
     "x10_color_family": (_color_family_sql(), "same"),
     # W6/X12: emit the exact BIGINT decay units greatest(0, 120-Δ) — the
     # score is the fixed linear map 0.2/120·units, and round(double, 6)

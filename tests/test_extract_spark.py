@@ -106,3 +106,37 @@ def test_extract_turns_shape(spark, fixture_pdf):
     out = extract_turns(sdf)
     assert out.count() == 50  # one row per turn, narrow projection
     assert {"extracted_text", "candidates"} <= set(out.columns)
+
+
+def test_token_scan_sql_offset_exact_vs_token_re(spark):
+    """The token_span_scan entry's consumed-boundary regex rewrite equals
+    labelcore TOKEN_RE (lookbehind form) with byte-exact offsets on the
+    entry's own generated corpus — the equivalence claim behind using it
+    as the oracle-checkable form of flagship step 1."""
+    from ocr_auto_label_spark.entry_queries import _token_scan_sql, load_views
+    from ocr_auto_label_spark.labelcore.extract import TOKEN_RE
+    from ocr_auto_label_spark.labelcore.grammar import match_pattern_id
+
+    sf_dir = "/root/testdata/sf0.001"
+    load_views(spark, sf_dir)
+    # reuse the entry's own source-string synthesis (the WITH src clause)
+    sql = _token_scan_sql("spark")
+    src_sql = sql.split("), m AS (")[0].replace("WITH src AS (", "")
+    raw = {r.doc_id: r.s for r in spark.sql(src_sql).collect()}
+    got = {}
+    for r in spark.sql(sql).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.tok_idx, r.token, r.begin_off, r.end_off, r.pattern_id, r.is_valid)
+        )
+    assert len(raw) > 0
+    n_tokens = 0
+    for doc_id, s in raw.items():
+        want = [
+            (i + 1, m.group(0), m.start(), m.end(),
+             match_pattern_id(m.group(0)),
+             int(match_pattern_id(m.group(0)) is not None))
+            for i, m in enumerate(TOKEN_RE.finditer(s))
+        ]
+        assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
+        n_tokens += len(want)
+    assert n_tokens > len(raw)  # scan actually found tokens
