@@ -340,6 +340,43 @@ def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_profile(synth_media(spark, n=120))
 
 
+def _multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of the multimodal surface under the driver
+    oracle (VERDICT r2 #4): the REAL ``resize_metadata`` operator
+    (gemini.ts:26-31 resize-if-large planning as pure column math) over a
+    media-shaped frame synthesized from documents — typed meta struct +
+    an actual binary payload whose length feeds the >4MB rule.  Codec
+    features stay in the rows-only ``multimodal_profile`` (decode is
+    environment-blocked for image/video)."""
+    from ocr_auto_label_spark.operators.multimodal import resize_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("cast(repeat('x', cast(doc_id % 50 + 1 as int)) as binary)").alias("payload"),
+        F.struct(
+            (F.lit(64) + (F.col("doc_id") * 37) % 3000).cast("int").alias("width"),
+            (F.lit(64) + (F.col("doc_id") * 53) % 2000).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+            F.lit("jpeg").alias("codec"),
+        ).alias("meta"),
+    )
+    return resize_metadata(media)
+
+
+_DUCK_RESIZE_PLAN = """
+WITH m AS (SELECT doc_id AS media_id,
+  CAST(64 + (doc_id * 37) % 3000 AS INT) AS w,
+  CAST(64 + (doc_id * 53) % 2000 AS INT) AS h,
+  CAST(doc_id % 50 + 1 AS INT) AS plen FROM documents)
+SELECT media_id,
+  CAST((plen > 4194304 OR greatest(w, h) > 1024) AS INT) AS needs_resize,
+  CAST(round(w * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS target_width,
+  CAST(round(h * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS target_height
+FROM m
+"""
+
+
 # ------------------------------------------------------ operator-backed
 
 def _sf_turns(sf_dir: str) -> int:
@@ -1202,6 +1239,8 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "text_language_id": (_lang_id_spark, _lang_id_query_sql("duck")),
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
     "multimodal_profile": (_multimodal_profile, None),
+    # deterministic half (resize planning over typed meta): oracle-backed
+    "multimodal_resize_plan": (_multimodal_resize_plan, _DUCK_RESIZE_PLAN),
 }
 
 
