@@ -846,6 +846,55 @@ def _infer_groups_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _infer_groups_keyed_duck() -> str:
+    """Fully independent relational reformulation of the keyed ±9-window
+    inference (the Spark side runs the REAL pandas-UDF operator): rank per
+    source, non-equi self-join on |Δrank| ≤ 9, the exact
+    extractMeaningfulWords ≥2-shared-words rule (duplicates counted,
+    groupInference.ts:171-179, 261-272), and most-recent-wins via arg_max
+    (ts_ms = doc_id·1000 is globally unique → no tie ambiguity).
+
+    Color rule: the entry's palette is 4 fixed hexes mapping to families
+    red/blue/green (meaningful) and black (neutral); with single-element
+    color lists, has_matching_colors (ts:222-256 — meaningful-first,
+    neutral-fallback, never cross-tier) reduces EXACTLY to same-palette-
+    index: same meaningful family ⟺ same hex; both-neutral ⟺ both black;
+    cross-tier always false.  The full hex→HSL→family math is separately
+    oracle-checked by x10_color_family."""
+    from ocr_auto_label_spark.labelcore.inference import COMMON_WORDS
+
+    common = ", ".join(f"'{w}'" for w in sorted(COMMON_WORDS))
+    return f"""
+WITH frame AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') AS oname,
+         doc_id * 1000 AS ts_ms,
+         CASE WHEN doc_id % 2 = 0 THEN concat('g', source) END AS grp,
+         array_to_string((string_split(text, ' '))[1:4], ' ') AS d,
+         doc_id % 4 AS cidx
+  FROM documents),
+words AS (
+  SELECT *, list_filter(
+      regexp_split_to_array(regexp_replace(lower(d), '[^a-z0-9_\\s]', '', 'g'), '\\s+'),
+      w -> length(w) > 2 AND NOT list_contains([{common}], w)) AS mw
+  FROM frame),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY oname, id) AS rn
+  FROM words),
+matched AS (
+  SELECT t.id, arg_max(n.grp, n.ts_ms) AS inferred
+  FROM numbered t JOIN numbered n
+    ON t.source = n.source AND abs(t.rn - n.rn) <= 9 AND t.id <> n.id
+  WHERE t.grp IS NULL AND n.grp IS NOT NULL AND trim(n.grp) <> ''
+    AND t.cidx = n.cidx
+    AND len(list_filter(t.mw, w -> list_contains(n.mw, w))) >= 2
+  GROUP BY t.id)
+SELECT f.id, f.source, f.grp AS "group", m.inferred AS inferred_group,
+       CASE WHEN m.inferred IS NOT NULL THEN 0.7 END AS grouping_confidence
+FROM frame f LEFT JOIN matched m ON f.id = m.id
+"""
+
+
 # ------------------------------------------------------------ the registry
 
 _DUCK_J1 = """
@@ -910,8 +959,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "lifecycle_e2_reindex": (_lifecycle_e2, _lifecycle_e2_duck()),
     # --- stateful grouping (sequential-transitive fold) ---
     "auto_group_transitive": (_auto_group_events, None),
-    # --- ±9-row inference: keyed scale path is the registered default ---
-    "infer_groups_keyed": (_infer_groups_keyed, None),
+    # --- ±9-row inference: keyed scale path is the registered default,
+    # now oracle-backed (real pandas-UDF operator vs relational DuckDB
+    # reformulation — fully independent implementations) ---
+    "infer_groups_keyed": (_infer_groups_keyed, _infer_groups_keyed_duck()),
     # --- structured streaming (availableNow drains; not SQL-expressible) ---
     "streaming_pipeline": (_streaming_pipeline, None),
     # --- windows (W1-W8) ---
