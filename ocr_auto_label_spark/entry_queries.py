@@ -837,9 +837,17 @@ def _infer_groups_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
                  F.lit(".jpg")).alias("original_name"),
         (F.col("doc_id") * 1000).alias("ts_ms"),
-        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("g"), F.col("source"))).alias("group"),
+        # labeled ⟺ doc_id % 3 == 0: the testdata assigns source by
+        # doc_id % 20, so a parity rule (% 2) puts every doc of a source
+        # on the same side and no window ever pairs a labeled neighbor
+        # with an unlabeled target; % 3 cycles within each source
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("g"), F.col("source"))).alias("group"),
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4)).alias("desc"),
-        F.array(F.element_at(palette, (F.col("doc_id") % 4 + 1).cast("int"))).alias("colors"),
+        # palette index decoupled from the labeling rule for the same
+        # reason: tied indexes would make color matches impossible
+        F.array(
+            F.element_at(palette, (F.expr("doc_id div 2") % 4 + 1).cast("int"))
+        ).alias("colors"),
     )
     return infer_groups(frame, key_cols=["source"]).select(
         "id", "source", "group", "inferred_group", "grouping_confidence"
@@ -869,9 +877,9 @@ WITH frame AS (
   SELECT CAST(doc_id AS VARCHAR) AS id, source,
          lpad(CAST(doc_id AS VARCHAR), 8, '0') AS oname,
          doc_id * 1000 AS ts_ms,
-         CASE WHEN doc_id % 2 = 0 THEN concat('g', source) END AS grp,
+         CASE WHEN doc_id % 3 = 0 THEN concat('g', source) END AS grp,
          array_to_string((string_split(text, ' '))[1:4], ' ') AS d,
-         doc_id % 4 AS cidx
+         (doc_id // 2) % 4 AS cidx
   FROM documents),
 words AS (
   SELECT *, list_filter(
