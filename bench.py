@@ -130,6 +130,43 @@ def scaling_run(master: str, shuffle_partitions: int, n_turns: int) -> float:
     return round(n_turns / best, 1)
 
 
+def skew_run(n_turns: int) -> dict:
+    """North-star skew leg: same input, same single shuffle, the ONLY
+    difference is key balance — raw conv_id partitioning (the hot
+    conversation, ~8% of all turns by construction, lands whole in one
+    task) vs salted_repartition (pmod(xxhash64(conv_id, turn_idx)) spreads
+    it).  Wall-clock ratio quantifies what salting buys on a
+    conv-clustered layout."""
+    from ocr_auto_label_spark.session import build_spark
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        extract_candidates_flat,
+        salted_repartition,
+    )
+
+    path = transcripts_parquet(n_turns)
+    spark = build_spark(app_name="bench-skew", master=f"local[{CPUS}]",
+                        shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("OFF")
+    df = spark.read.parquet(path)
+    legs: dict[str, float] = {}
+    for name, prep in (
+        ("conv_partitioned_sec", lambda d: d.repartition(CPUS, "conv_id")),
+        ("salted_sec", lambda d: salted_repartition(d, CPUS)),
+    ):
+        out = extract_candidates_flat(prep(df))
+        _materialize(out)  # warm
+        t0 = time.time()
+        _materialize(out)
+        legs[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return {
+        "turns": n_turns,
+        **legs,
+        "salting_speedup": round(legs["conv_partitioned_sec"] / legs["salted_sec"], 3),
+    }
+
+
 def main() -> None:
     if not os.path.isdir(SF_DIR):
         sys.exit(f"error: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
@@ -178,6 +215,9 @@ def main() -> None:
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (n_hi / n_lo), 3),
         }
+        out["skew"] = skew_run(
+            int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", str(n_turns)))
+        )
     print(json.dumps(out))
 
 
