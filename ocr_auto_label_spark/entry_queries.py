@@ -206,7 +206,7 @@ def _grammar_validate_duck() -> str:
 _SCAN_RX = "(?:^|[^A-Za-z0-9.-])([A-Za-z0-9]{3}[.-][A-Za-z0-9][A-Za-z0-9.-]*[A-Za-z0-9])"
 
 
-def _token_scan_sql(dialect: str) -> str:
+def _token_scan_sql(dialect: str, table: str = "documents") -> str:
     """Token span scan + grammar validity (flagship steps 1-3 minus
     repair) under the driver oracle: scan text synthesized from documents
     (injected label tokens — valid, corrupt, lowercase, junk — around a
@@ -224,7 +224,7 @@ def _token_scan_sql(dialect: str) -> str:
         "WHEN doc_id % 4 = 2 THEN 'ZZZ.99.Q near AB1.2x' "
         "ELSE 'plain prose only' END, ' ', "
         f"{frag}, ' tail MWI.0.1.4.', CAST(doc_id % 20 AS {cast_str}), '.15.7') AS s "
-        "FROM documents"
+        f"FROM {table}"
     )
     if dialect == "spark":
         arrays = (
@@ -263,8 +263,16 @@ def _token_scan_sql(dialect: str) -> str:
 
 
 def _token_scan_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_views(spark, sf_dir)
-    return spark.sql(_token_scan_sql("spark"))
+    # spread the scan: the local documents table is one parquet file
+    # (1 scan task) and the regex pipeline is per-row CPU; on a real
+    # multi-file Iceberg table ensure_parallelism is a no-op
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("__token_scan_docs")
+    return spark.sql(_token_scan_sql("spark", table="__token_scan_docs"))
 
 
 def _x4_confusion_repair_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +492,12 @@ def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_dedup(docs, threshold=0.7, shingle_width=3, shingle_fn=word_shingles),
         "word3",
     )
-    sigs = docs.select(
+    # spread the signature scan: sf0.1 documents is a single parquet file
+    # (1 scan task) and simhash/fingerprint are interpreted O(64·tokens)
+    # higher-order expressions — unparallelized they dominate the entry
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    sigs = ensure_parallelism(docs).select(
         F.col("doc_id").alias("id_a"),
         simhash64("text").alias("simhash"),
         doc_fingerprint("text").alias("fingerprint"),

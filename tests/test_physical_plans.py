@@ -160,3 +160,55 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {name_a}")
         spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+
+
+def test_token_scan_plan_prunes_and_stays_jvm_side(spark):
+    """token_span_scan: the scan reads only the two needed columns and the
+    whole regex/offset pipeline is JVM expressions (no Python surface of
+    any kind in the plan)."""
+    from ocr_auto_label_spark.entry_queries import build_queries
+
+    df = build_queries()["token_span_scan"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "Python" not in plan  # no Arrow/batch eval at all: pure codegen ops
+
+
+def test_resize_plan_is_narrow(spark):
+    """multimodal_resize_plan: metadata-only planning — no Exchange, no
+    Python; one narrow pass over the scan."""
+    from ocr_auto_label_spark.entry_queries import build_queries
+
+    df = build_queries()["multimodal_resize_plan"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_salted_repartition_balances_hot_conversation(spark):
+    """The skew-bench claim at plan+distribution level: partitioning raw
+    conv_id concentrates the hot conversation (conv 0 ≈ 8% of all turns)
+    in one partition; salted_repartition spreads it to ≤ a few rows-per-
+    partition multiple of even."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.plans.extraction_pipeline import salted_repartition
+
+    df = spark.read.parquet(transcripts_parquet(20_000))
+    n = 16
+
+    def max_partition_rows(d):
+        sizes = d.rdd.glom().map(len).collect()
+        assert len(sizes) == n
+        return max(sizes)
+
+    raw = max_partition_rows(df.repartition(n, "conv_id"))
+    salted = max_partition_rows(salted_repartition(df, n))
+    mean = 20_000 / n
+    # measured: raw max ≈ 3114 (hot conv + hash collisions), salted max
+    # ≈ 1695 (multinomial variance over (conv, salt) cells) vs mean 1250
+    assert raw >= 20_000 // 12  # hot conv sits whole in one partition
+    assert salted <= 1.5 * mean  # salting evens the distribution
+    assert raw > 1.5 * salted
