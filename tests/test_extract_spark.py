@@ -140,3 +140,68 @@ def test_token_scan_sql_offset_exact_vs_token_re(spark):
         assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
         n_tokens += len(want)
     assert n_tokens > len(raw)  # scan actually found tokens
+
+
+def test_token_scan_dialect_parity_fuzz(spark):
+    """Randomized Java-vs-RE2-vs-Python parity for the scan machinery:
+    200 deterministic random strings over the token alphabet (plus
+    boundary chars), one SQL pass per engine shape, offsets byte-exact
+    against TOKEN_RE.finditer.  Guards the consumed-boundary rewrite
+    against engine divergence beyond the curated corpus."""
+    import random
+
+    import duckdb
+
+    from ocr_auto_label_spark.entry_queries import _SCAN_RX
+    from ocr_auto_label_spark.labelcore.extract import TOKEN_RE
+
+    rng = random.Random(99)
+    alphabet = "AB1.- xyZ0I,8O\tD#"
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    want = {
+        i: [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(s)]
+        for i, s in enumerate(strings)
+    }
+
+    sdf = spark.createDataFrame(list(enumerate(strings)), "i: int, s: string")
+    sdf.createOrReplaceTempView("__fuzz_scan")
+    spark_rows = spark.sql(f"""
+        WITH m AS (SELECT i, split(s, '{_SCAN_RX}') AS segs,
+                          regexp_extract_all(s, '{_SCAN_RX}', 0) AS fulls,
+                          regexp_extract_all(s, '{_SCAN_RX}', 1) AS toks
+                   FROM __fuzz_scan)
+        SELECT i, token,
+          CAST(aggregate(slice(segs, 1, pos + 1), 0, (a, x) -> a + length(x))
+             + aggregate(slice(fulls, 1, pos), 0, (a, x) -> a + length(x))
+             + length(element_at(fulls, pos + 1)) - length(token) AS BIGINT) AS b
+        FROM m LATERAL VIEW posexplode(toks) t AS pos, token
+    """).collect()
+    got_spark: dict[int, list] = {i: [] for i in range(len(strings))}
+    for r in spark_rows:
+        got_spark[r.i].append((r.token, r.b, r.b + len(r.token)))
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck: dict[int, list] = {i: [] for i in range(len(strings))}
+    for i, s in enumerate(strings):
+        rows = con.execute(
+            """
+            WITH m AS (SELECT regexp_split_to_array(?, ?) AS segs,
+                              regexp_extract_all(?, ?, 0) AS fulls,
+                              regexp_extract_all(?, ?, 1) AS toks),
+            e AS (SELECT segs, fulls, toks, unnest(range(1, len(toks)+1)) AS p FROM m)
+            SELECT toks[p],
+              CAST(coalesce(list_sum(list_transform(segs[1:p], x -> length(x))), 0)
+                 + coalesce(list_sum(list_transform(fulls[1:p-1], x -> length(x))), 0)
+                 + length(fulls[p]) - length(toks[p]) AS BIGINT)
+            FROM e""",
+            [s, _SCAN_RX] * 3,
+        ).fetchall()
+        got_duck[i] = [(t, b, b + len(t)) for t, b in rows]
+    assert got_duck == want
+
+    n_found = sum(len(v) for v in want.values())
+    assert n_found >= 10  # the alphabet actually produces tokens
