@@ -451,10 +451,32 @@ def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.dedup import jaccard_pairs
+    """Blocked n-gram Jaccard pairs PLUS the duplicate-cluster extraction
+    over them (min-label propagation with pointer jumping,
+    operators/dedup.py connected_components) — pairwise evidence AND the
+    keep/drop grouping a dedup pipeline actually acts on, both under the
+    driver oracle (the cluster half via a DuckDB recursive CTE)."""
+    from ocr_auto_label_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return jaccard_pairs(docs, ["lang", "n_chars"], threshold=0.3)
+    pairs = jaccard_pairs(docs, ["lang", "n_chars"], threshold=0.3)
+    comp = connected_components(pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("variant"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("val"),
+    )
+    comp_rows = comp.select(
+        F.lit("component").alias("variant"),
+        F.col("id").cast("long").alias("id_a"),
+        F.col("component").cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return pair_rows.unionByName(comp_rows)
 
 
 def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,18 +950,32 @@ GROUP BY a.user_id
 """
 
 _DUCK_JACCARD = """
-WITH sh AS (
+WITH RECURSIVE sh AS (
   SELECT doc_id, lang, n_chars,
          list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
                                       i -> substring(text, i, 3))) AS sh
-  FROM documents)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-               greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id) p
-WHERE jaccard >= 0.3
+  FROM documents),
+p AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id) q
+  WHERE jaccard >= 0.3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a),
+comp AS (
+  SELECT id, least(id, min(r)) AS root FROM reach GROUP BY id)
+SELECT 'pair' AS variant, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS val FROM p
+UNION ALL
+SELECT 'component' AS variant, CAST(id AS BIGINT) AS id_a,
+       CAST(root AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS val FROM comp
 """
 
 # CAST(... AS DOUBLE[]) forces DuckDB to accumulate in double like Spark

@@ -301,3 +301,71 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-CLUSTER extraction from a near-dup pair stream:
+    (id, component) per node, component = min node id reachable through
+    the pair graph — the standard way a 100TB dedup pipeline goes from
+    pairwise evidence to keep/drop decisions (one canonical doc per
+    component).
+
+    Min-label propagation WITH pointer jumping: every round each node
+    takes the min of its own and its neighbors' labels, then jumps to
+    its new label's own (pre-round) label — the path-halving that turns
+    O(diameter) convergence into O(log diameter) rounds (the
+    alternating-star recipe), so even chain-shaped components converge
+    in a handful of O(|edges|) shuffles; the transitive closure is never
+    materialized.  The driver-side loop pulls ONE aggregate scalar per
+    round (the converged? count), the standard shape for iterative
+    DataFrame algorithms (GraphFrames does the same).  Each round's
+    labels are eagerly localCheckpoint-ed to cut the otherwise
+    exponentially-nesting join lineage; on a fault-tolerant cluster run,
+    substitute a durable ``checkpoint()`` (same plan shape).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        step = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("__tmp"),
+        )
+        # pointer jump: follow the new label to ITS pre-round label
+        # (labels always point at real node ids, so the join total-maps)
+        parent = labels.select(
+            F.col("id").alias("__tmp"), F.col("component").alias("__parent")
+        )
+        updated = step.join(parent, "__tmp", "left").select(
+            "id",
+            F.least(F.col("__tmp"), F.coalesce("__parent", "__tmp")).alias("component"),
+            (
+                F.least(F.col("__tmp"), F.coalesce("__parent", "__tmp"))
+                < F.col("__old")
+            ).cast("long").alias("__changed"),
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels

@@ -230,3 +230,49 @@ def test_ordered_distinct_union_and_first_non_null(spark):
 
     fv = {r.g: r.v for r in first_non_null(df, "g", "v", ["ord"]).collect()}
     assert fv == {"g1": "x", "g2": "w"}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == classic union-find on a graph with
+    chains, a clique, singleton-free isolates and multiple components."""
+    import random
+
+    from ocr_auto_label_spark.operators.dedup import connected_components
+
+    rng = random.Random(3)
+    edges = set()
+    # a 30-node chain (diameter stress), a 10-node clique, random noise
+    for i in range(100, 129):
+        edges.add((i, i + 1))
+    for i in range(200, 210):
+        for j in range(i + 1, 210):
+            if rng.random() < 0.4:
+                edges.add((i, j))
+    for _ in range(40):
+        a, b = rng.randint(0, 60), rng.randint(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "id_a: long, id_b: long"
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == want
