@@ -746,10 +746,34 @@ def _streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_deduped_counts(spark: SparkSession) -> DataFrame:
+    """Bounded-state ingest dedup (dropDuplicatesWithinWatermark): drain
+    an input containing a re-delivered file, count surviving turns per
+    conv — every duplicate must be dropped, every unique kept."""
+    import os
+    import tempfile
+
+    from ocr_auto_label_spark.datagen import generate_transcripts
+    from ocr_auto_label_spark.streaming.pipeline import run_deduped_ingest
+
+    base = tempfile.mkdtemp(prefix="stream_dd_")
+    d = os.path.join(base, "in")
+    os.makedirs(d)
+    pdf = generate_transcripts(2_000, seed=11)
+    pdf.to_parquet(f"{d}/part1.parquet", index=False)
+    pdf.iloc[:800].to_parquet(f"{d}/redelivered.parquet", index=False)
+    q = run_deduped_ingest(spark, d, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turns")
+    )
+
+
 def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 in one entry: the availableNow watermarked-window drain AND
-    the applyInPandasWithState running totals, union-normalized with a
-    variant column (both not SQL-expressible → rows-only)."""
+    """§2.9 in one entry: the availableNow watermarked-window drain, the
+    applyInPandasWithState running totals, AND the watermark-bounded
+    ingest dedup, union-normalized with a variant column (all three not
+    SQL-expressible → rows-only)."""
     win = _streaming_windowed_counts(spark, sf_dir).select(
         F.lit("windowed").alias("variant"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_iso"),
@@ -760,7 +784,13 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("window_start_iso"),
         "conv_id", "turns", "turns_with_label",
     )
-    return win.unionByName(st)
+    dd = _streaming_deduped_counts(spark).select(
+        F.lit("dedup_ingest").alias("variant"),
+        F.lit(None).cast("string").alias("window_start_iso"),
+        "conv_id", "turns",
+        F.lit(None).cast("long").alias("turns_with_label"),
+    )
+    return win.unionByName(st).unionByName(dd)
 
 
 def _lifecycle_e2(spark: SparkSession, sf_dir: str) -> DataFrame:

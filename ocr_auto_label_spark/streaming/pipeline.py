@@ -104,3 +104,45 @@ def run_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_transcript_stream(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time exact dedup with BOUNDED state: drop repeated payloads
+    (same conv_id/turn content hash) arriving within the watermark
+    horizon — the streaming counterpart of the batch exact-dedup
+    operator, and the state-management shape that survives an unbounded
+    stream: ``dropDuplicatesWithinWatermark`` evicts seen-keys older than
+    the watermark, so state is O(arrival rate × horizon), not O(stream
+    length).  Plain ``dropDuplicates`` on a stream would keep every key
+    forever — the 10¹²-turn anti-pattern."""
+    stream = read_transcript_stream(spark, input_path)
+    keyed = stream.withColumn(
+        "content_hash", F.md5(F.concat_ws("\x1f", "conv_id", "turn_idx", "text"))
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def run_deduped_ingest(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """availableNow drain of the deduped ingest → parquet."""
+    deduped = deduped_transcript_stream(spark, input_path, watermark)
+    return (
+        deduped.drop("content_hash")
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

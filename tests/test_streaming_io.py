@@ -135,3 +135,24 @@ def test_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     total = spark.read.parquet(out)
     assert total.count() == len(full)
     assert total.select("conv_id", "turn_idx").distinct().count() == len(full)
+
+
+def test_deduped_ingest_drops_watermark_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest: exact payload repeats within
+    the horizon are dropped, uniques all survive."""
+    from ocr_auto_label_spark.streaming.pipeline import run_deduped_ingest
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pdf = generate_transcripts(300, seed=9)
+    pdf.to_parquet(f"{d}/part1.parquet", index=False)
+    # re-deliver the first 120 rows (same conv/turn/text → same hash)
+    pdf.iloc[:120].to_parquet(f"{d}/part2_dupes.parquet", index=False)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_deduped_ingest(spark, d, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.select("conv_id", "turn_idx").distinct().count() == 300
