@@ -578,19 +578,23 @@ def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four approximate paths in one entry (recall < 1 by design →
+    """All five approximate paths in one entry (recall < 1 by design →
     rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, the
     MATERIALIZED-index probe (write partitioned by cluster, probe via
     partition-pruned scans — r2's 50th entry, merged here to free a
-    window slot), and near-dup pairs blocked by the computed LSH
-    signature (the composition that scales to unlabeled corpora — the
-    blocking key is computed, not given).  Normalized to (variant, id_a,
-    id_b, cosine); for the top-k variants id_a is the query's id (0)."""
+    window slot), product-quantization ADC top-k (vectors compressed to
+    m uint8 codes; search never touches raw vectors), and near-dup pairs
+    blocked by the computed LSH signature (the composition that scales
+    to unlabeled corpora — the blocking key is computed, not given).
+    Normalized to (variant, id_a, id_b, cosine); for the top-k variants
+    id_a is the query's id (0)."""
     from ocr_auto_label_spark.operators.similarity import (
         cosine_neardup_pairs,
         hyperplane_signature,
         ivf_topk,
         lsh_bucketed_topk,
+        pq_topk,
+        pq_train,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -607,6 +611,14 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = norm_topk(lsh_bucketed_topk(emb, q, k=10, bits=4), "lsh_topk")
     ivf = norm_topk(ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4), "ivf_topk")
     idx = norm_topk(_embed_ivf_index_probe(spark, sf_dir), "ivf_index_probe")
+    # product quantization (64-float vector → m uint8 codes; ADC search
+    # over codes only) — cosine reported via cos = 1 - d²/2 on the unit
+    # sphere, so the normalized schema holds for the compressed path too
+    pq = norm_topk(
+        pq_topk(emb, pq_train(emb, m=8, k=16), q, k=10)
+        .select("vec_id", F.round(1 - F.col("approx_d2") / 2, 6).alias("cosine")),
+        "pq_topk",
+    )
     blocked = cosine_neardup_pairs(
         emb.withColumn("lsh_sig", hyperplane_signature("embedding", bits=6)),
         block_cols=["lsh_sig"],
@@ -617,7 +629,7 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
     )
-    return lsh.unionByName(ivf).unionByName(idx).unionByName(blocked)
+    return lsh.unionByName(ivf).unionByName(idx).unionByName(pq).unionByName(blocked)
 
 
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

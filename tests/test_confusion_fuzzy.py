@@ -238,3 +238,28 @@ def test_x4_sql_twin_matches_python_on_random_corruptions(spark):
     for r in rows:
         want = best_correction(normalize_code(r.code)) or (None, None, None)
         assert (r.repaired, r.edits, r.pattern_id) == want, r.code
+
+
+def test_x4_sql_twin_matches_python_on_junk(spark):
+    """Adversarial fuzz: arbitrary strings over the confusion alphabet
+    (dots, dashes, spaces, empty segments, long runs) — the SQL twin must
+    equal Python best_correction on ALL of them, not just label-shaped
+    tokens."""
+    import random
+
+    from ocr_auto_label_spark.functions.confusion_sql import repair_select_sql
+    from ocr_auto_label_spark.labelcore.grammar import normalize_code
+
+    rng = random.Random(23)
+    alphabet = "MW1I0ODB8. -ken"
+    tokens = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+              for _ in range(60)]
+    tokens += ["...", "MWI.", ".MWI", "MWI..0.1", "0", "00", "O" * 33]
+    # de-dup while preserving order (duplicate VALUES rows are legal but
+    # make the per-row assertion ambiguous)
+    tokens = list(dict.fromkeys(tokens))
+    rows = spark.sql(repair_select_sql("spark", tokens)).collect()
+    assert len(rows) == len(tokens)
+    for r in rows:
+        want = best_correction(normalize_code(r.code)) or (None, None, None)
+        assert (r.repaired, r.edits, r.pattern_id) == want, r.code
