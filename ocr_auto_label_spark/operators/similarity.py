@@ -396,3 +396,70 @@ def pq_topk(
         F.round(F.expr(dist), 6).alias("approx_d2"),
     )
     return scored.orderBy(F.asc("approx_d2"), F.col(id_col)).limit(k)
+
+
+def ivfpq_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """IVF-PQ index (the composed 10⁹-vector layout): coarse-assign each
+    vector to an IVF cell, quantize it to m PQ codes, store ONLY
+    (id, pq_code) partitioned by ``ivf_cluster`` — raw vectors never
+    enter the index.  A probe therefore skips non-probed cells at the
+    file-listing level (partition pruning) AND reads ~m bytes per
+    surviving row (codes, not the 256-byte vector) — both properties are
+    asserted on the physical plan in tests.  Returns (centroids,
+    codebooks); store both with the index."""
+    assigned, centroids = ivf_assign(df, n_centroids, vec_col, id_col)
+    codebooks = pq_train(df, m=m, k=k, vec_col=vec_col, id_col=id_col)
+    coded = pq_encode(assigned, codebooks, vec_col, id_col).join(
+        assigned.select(F.col(id_col).alias("id"), "ivf_cluster"), "id"
+    )
+    coded.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    return centroids, codebooks
+
+
+def ivfpq_probe_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a materialized IVF-PQ index: pick nprobe cells on
+    the driver (tiny centroid table), scan only those partitions, rank by
+    codes-only ADC distance.  Output: (vec_id, approx_d2)."""
+    import numpy as np
+
+    q = np.asarray([float(v) for v in query_vec])
+    cmat = np.asarray([v for _, v in centroids])
+    sims = (cmat @ q) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [centroids[i][0] for i in np.argsort(-sims)[:nprobe]]
+
+    qn = q / (np.linalg.norm(q) + 1e-300)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    kk = len(codebooks[0])
+    lut: list[float] = []
+    for s, book in enumerate(codebooks):
+        qs = qn[s * sub:(s + 1) * sub]
+        for cent in book:
+            lut.append(float(np.sum((qs - np.asarray(cent)) ** 2)))
+    lut_sql = "array({})".format(", ".join(f"cast({x!r} as double)" for x in lut))
+    dist = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (a, s) -> "
+        f"a + element_at({lut_sql}, s * {kk} + element_at(pq_code, s + 1) + 1))"
+    )
+    cells = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    scored = cells.select(
+        F.col("id").alias(id_col), F.round(F.expr(dist), 6).alias("approx_d2")
+    )
+    return scored.orderBy(F.asc("approx_d2"), F.col(id_col)).limit(k)

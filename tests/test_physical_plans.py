@@ -212,3 +212,29 @@ def test_salted_repartition_balances_hot_conversation(spark):
     assert raw >= 20_000 // 12  # hot conv sits whole in one partition
     assert salted <= 1.5 * mean  # salting evens the distribution
     assert raw > 1.5 * salted
+
+
+def test_ivfpq_probe_prunes_partitions_and_never_reads_vectors(spark, tmp_path):
+    """The composed IVF-PQ probe: (1) PartitionFilters prune non-probed
+    cells at file-listing level, (2) ReadSchema carries ONLY id+codes —
+    the raw embedding column is not in the index at all, so a 10⁹-vector
+    probe moves ~m bytes per surviving row."""
+    from ocr_auto_label_spark.operators.similarity import (
+        ivfpq_probe_index,
+        ivfpq_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(v) for v in emb.filter("vec_id = 0").collect()[0].embedding]
+    path = str(tmp_path / "ivfpq")
+    centroids, books = ivfpq_write_index(emb, path, n_centroids=8, m=8, k=16)
+
+    probe = ivfpq_probe_index(spark, path, centroids, books, q, k=5, nprobe=2)
+    rows = probe.collect()
+    assert 0 < len(rows) <= 5
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in read_schema
+    assert "embedding" not in read_schema
+    assert "Python" not in plan
