@@ -262,6 +262,49 @@ def _token_scan_sql(dialect: str, table: str = "documents") -> str:
     )
 
 
+# PII scrubbing (training-data hygiene): regexes are RE2+Java compatible
+# (no lookarounds, no capture groups — explicit group 0 everywhere since
+# Spark's regexp_extract_all defaults to group 1 when parens exist).
+_PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"[+]?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def _pii_scrub_sql(dialect: str) -> str:
+    """PII scrub + tally over text synthesized from documents (injected
+    deterministic email/phone/IP around a sanitized prose fragment):
+    per-type match counts on the raw string, then ordered redaction
+    (email → phone → IP) to typed placeholders.  The scrubbed string is
+    hash-compared verbatim, so both engines must agree on every
+    replacement boundary."""
+    cast_str = "STRING" if dialect == "spark" else "VARCHAR"
+    gflag = "" if dialect == "spark" else ", 'g'"
+    esc = (lambda rx: rx.replace("\\", "\\\\")) if dialect == "spark" else (lambda rx: rx)
+    size_fn = "size" if dialect == "spark" else "len"
+    frag = f"regexp_replace(lower(substring(text, 1, 60)), '[^a-z ]', ''{gflag})"
+    src = (
+        "SELECT doc_id, concat('contact u', CAST(doc_id AS {c}), '@example.com ', "
+        "CASE WHEN doc_id % 3 = 0 THEN concat('call ', lpad(CAST(doc_id % 1000 AS {c}), 3, '9'), "
+        "'-', lpad(CAST(doc_id % 100 AS {c}), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS {c}), 4, '0'), ' ') "
+        "ELSE '' END, "
+        "'from 10.0.', CAST(doc_id % 256 AS {c}), '.', CAST(doc_id % 100 AS {c}), ' ', "
+        "{frag}) AS s FROM documents"
+    ).format(c=cast_str, frag=frag)
+    counts = ", ".join(
+        f"{size_fn}(regexp_extract_all(s, '{esc(rx)}', 0)) AS n_{name}"
+        for name, rx, _ in _PII_RULES
+    )
+    scrubbed = "s"
+    for _, rx, repl in _PII_RULES:
+        scrubbed = f"regexp_replace({scrubbed}, '{esc(rx)}', '{repl}'{gflag})"
+    return (
+        f"WITH src AS ({src}) "
+        f"SELECT doc_id, {counts}, {scrubbed} AS scrubbed FROM src"
+    )
+
+
 def _token_scan_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the scan: the local documents table is one parquet file
     # (1 scan task) and the regex pipeline is per-row CPU; on a real
@@ -1126,6 +1169,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "x2_grammar_validate": (_grammar_validate_spark, _grammar_validate_duck()),
     "x4_confusion_repair": (_x4_confusion_repair_spark, _x4_confusion_repair_duck()),
     "token_span_scan": (_token_scan_spark, _token_scan_sql("duck")),
+    "text_pii_scrub": (_pii_scrub_sql("spark"), _pii_scrub_sql("duck")),
     "x10_color_family": (_color_family_sql(), "same"),
     # W6/X12: emit the exact BIGINT decay units greatest(0, 120-Δ) — the
     # score is the fixed linear map 0.2/120·units, and round(double, 6)
@@ -1359,16 +1403,27 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "strftime(min(ts), '%m-%d-%y %H:%M:%S') AS first_ts_display, "
         "count(*) AS cnt FROM events GROUP BY 1",
     ),
-    # --- sorts / top-k / pagination (O1 top-k + offset in one query) ---
-    "o1_topk_pagination": (
+    # --- sorts / top-k / pagination (O1 top-k + offset, O2 multi-field
+    # sort — merged to one variant union to free a window slot) ---
+    "o1_o2_sort_paginate": (
+        "SELECT 'topk_page' AS variant, o_orderkey, "
+        "CAST(NULL AS STRING) AS prio, o_totalprice FROM ("
         "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40",
-        "same",
-    ),
-    "o2_multi_field_sort": (
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40) q1 "
+        "UNION ALL "
+        "SELECT 'multi_sort' AS variant, o_orderkey, o_orderpriority AS prio, "
+        "o_totalprice FROM ("
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
-        "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30",
-        "same",
+        "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30) q2",
+        "SELECT 'topk_page' AS variant, o_orderkey, "
+        "CAST(NULL AS VARCHAR) AS prio, o_totalprice FROM ("
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40) q1 "
+        "UNION ALL "
+        "SELECT 'multi_sort' AS variant, o_orderkey, o_orderpriority AS prio, "
+        "o_totalprice FROM ("
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30) q2",
     ),
     # --- training-data ops: dedup ---
     "dedup_exact_hash": (
