@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "embed_neardup_pairs",
     "text_quality_stats",
     "text_language_id",
+    "text_pii_scrub",
     "token_span_scan",
     "x2_grammar_validate",
     "auto_group_transitive",
