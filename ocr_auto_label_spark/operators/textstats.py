@@ -109,3 +109,46 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("lang_guess", language_id(c))
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-derived unigram negative log-likelihood per document — the
+    CCNet-style language-model quality proxy (high NLL ≈ improbable/noisy
+    text): train a unigram table over the corpus itself, score each doc
+    by the mean −log p of its tokens (add-``smoothing`` over the observed
+    vocabulary).
+
+    Scale shape: ONE explode+groupBy builds the vocabulary (map-side
+    combined; the vocab table is tiny relative to the corpus — Zipf), the
+    token stream joins it by word (broadcast when small, AQE otherwise),
+    and a per-doc agg folds the scores.  Output: (id, token_cnt,
+    avg_nll) — avg_nll rounded to 6 for cross-run stability.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            (-F.log(
+                (F.col("cnt") + F.lit(smoothing))
+                / (F.col("n_tokens") + F.lit(smoothing) * F.col("v_size"))
+            )).alias("nll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("token_cnt"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

@@ -327,3 +327,33 @@ def test_pq_adc_distance_and_search(spark):
     exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
     overlap = len(set(got1) & set(exact))
     assert overlap >= 2  # chance is 10·10/500 = 0.2
+
+
+def test_unigram_nll_matches_python(spark):
+    """Corpus unigram NLL == a pure-Python recomputation (same smoothing,
+    same tokenization), and ordering is sane: a doc of corpus-frequent
+    words scores lower NLL than one of rare words."""
+    import math
+    from collections import Counter
+
+    from ocr_auto_label_spark.operators.textstats import unigram_nll
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "zyzzyva qwerty flummox"),
+        (3, "the the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r.id: (r.token_cnt, r.avg_nll) for r in unigram_nll(df).collect()}
+
+    counts = Counter(w for _, t in docs for w in t.lower().split())
+    n, v, s = sum(counts.values()), len(counts), 0.5
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        want = round(
+            sum(-math.log((counts[w] + s) / (n + s * v)) for w in toks) / len(toks), 6
+        )
+        assert got[doc_id][0] == len(toks)
+        assert abs(got[doc_id][1] - want) < 1e-6, (doc_id, got[doc_id][1], want)
+    assert got[3][1] < got[0][1] < got[2][1]  # frequent < mixed < rare
