@@ -238,3 +238,43 @@ def test_ivfpq_probe_prunes_partitions_and_never_reads_vectors(spark, tmp_path):
     assert "pq_code" in read_schema
     assert "embedding" not in read_schema
     assert "Python" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE §3 'AQE skew-join splitting is on globally' as a plan fact:
+    a join with one hot key (90% of rows) gets its skewed partition split
+    at runtime — the final adaptive plan shows SortMergeJoin(skew=true)
+    over an 'AQEShuffleRead skewed'.  Thresholds are lowered so the
+    test-sized input trips the same machinery production sizes would.
+    Note: AQE declines to split when a downstream stage requires the
+    join's output partitioning (e.g. an immediate groupBy on other keys)
+    — the split applies to the join-then-narrow shape used here."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+            .alias("k"),
+            F.expr("repeat('x', 200)").alias("pay"),
+        )
+        right = spark.createDataFrame(
+            [("hot", 1)] + [(f"k{i}", i) for i in range(97)], "k: string, v: int"
+        )
+        j = left.join(right, "k").select(F.length("pay").alias("l"), "v")
+        j.collect()
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
