@@ -201,3 +201,42 @@ def transcripts_parquet(n_turns: int, seed: int = 42, base_dir: str = "/tmp/spar
 
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def replicated_transcripts(
+    spark,
+    base_turns: int,
+    factor: int,
+    seed: int = 42,
+    base_dir: str = "/tmp/spark_graft_data",
+) -> str:
+    """``factor``× replication of the cached base table with conv_ids
+    remapped per copy (``r{k}-`` prefix) — a deterministic large input for
+    the data-scaling bench leg without an O(n) Python generation loop.
+    Written by Spark (parallel), cached by (base_turns, factor, seed),
+    atomic via tmp-dir + rename like ``transcripts_parquet``."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    path = os.path.join(
+        base_dir, f"transcripts_n{base_turns}x{factor}_s{seed}.parquet"
+    )
+    if os.path.isdir(path):
+        return path
+    base = spark.read.parquet(transcripts_parquet(base_turns, seed, base_dir))
+    copies = [
+        base.withColumn("conv_id", F.concat(F.lit(f"r{k}-"), F.col("conv_id")))
+        for k in range(factor)
+    ]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    reduce(DataFrame.unionByName, copies).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.isdir(path):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
