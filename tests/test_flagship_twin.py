@@ -1,0 +1,97 @@
+"""The composed flagship SQL twin (functions/flagship_sql.py) must equal
+the Arrow-UDF flagship byte-for-byte, and its DuckDB dialect must equal
+the Spark dialect — together with the driver oracle this certifies the
+composed extraction semantics (token scan → confusion repair → fuzzy
+canonical match → confidence rank + normalizer) across THREE independent
+implementations (pure Python via the pandas UDF, Spark SQL, DuckDB SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+
+import ocr_auto_label_spark.entry_queries as eq
+from ocr_auto_label_spark.datagen import transcripts_parquet
+from ocr_auto_label_spark.functions.flagship_sql import (
+    flagship_twin_sql,
+    normalize_expr,
+)
+from ocr_auto_label_spark.labelcore.boilerplate import normalize_text
+
+TWIN_COLS = [
+    "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
+    "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(TWIN_COLS).collect())
+
+
+def test_twin_equals_arrow_flagship(spark):
+    """Exact equality — including extracted_text (the 10-step normalizer
+    twin), 0-based raw-string offsets, the round-half-even confidence
+    doubles, and the strict per-turn rank."""
+    sf = "/root/testdata/sf0.001"
+    flag = _rows(eq._extract_flagship(spark, sf))
+    twin = _rows(eq._flagship_twin_spark(spark, sf))
+    assert len(flag) == len(twin)
+    mism = [(a, b) for a, b in zip(flag, twin) if a != b]
+    assert not mism, f"first mismatches: {mism[:3]}"
+
+
+def test_twin_duck_equals_twin_spark(spark):
+    """Dialect parity on raw (un-normalized) values — stricter than the
+    driver compare, which rounds floats to 6 digits."""
+    path = transcripts_parquet(2_000)
+    duck = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
+        ).fetchall()
+    )
+    twin = _rows(eq._flagship_twin_spark(spark, "/root/testdata/sf0.001"))
+    assert len(duck) == len(twin)
+    mism = [(a, b) for a, b in zip(twin, duck) if a != b]
+    assert not mism, f"first mismatches: {mism[:3]}"
+
+
+def test_normalizer_twin_matches_python_on_adversarial_payloads(spark):
+    """The SQL normalizer twin vs labelcore.normalize_text on hand-picked
+    boundary payloads (fences, tags, entities, nav chrome, whitespace
+    runs) — the corpus-faithfulness boundary is ASCII whitespace, which
+    these all respect (as does the generated corpus)."""
+    payloads = [
+        "```json\n{\"a\": 1}\n```",
+        "```python\nx = 1\n\n\n\ny = 2\n```",
+        "  <div class=\"note\">ID &amp;lt; kept</div>  ",
+        "Home | About | Contact\nreal content line\nMenu | Login | Register",
+        "line with trailing   \n\ttabs\t\tand   runs",
+        "a\r\nb\rc",
+        "&nbsp;&lt;&gt;&quot;&#39;&amp;",
+        "| Share | Subscribe |\n\n\n\n\nbody",
+        "```\nunclosed fence line\nmore",
+        "plain text, no markup",
+        "<p>&nbsp;</p>",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "text: string")
+    df.createOrReplaceTempView("__norm_probe")
+    got = {
+        r.text: r.norm
+        for r in spark.sql(
+            f"SELECT text, {normalize_expr('spark', 'text')} AS norm "
+            "FROM __norm_probe"
+        ).collect()
+    }
+    duck_got = {
+        t: n
+        for t, n in duckdb.sql(
+            "SELECT text, "
+            + normalize_expr("duck", "text")
+            + " AS norm FROM (SELECT unnest($1) AS text)",
+            params=[payloads],
+        ).fetchall()
+    }
+    for p in payloads:
+        want = normalize_text(p)
+        assert got[p] == want, f"spark normalizer diverges on {p!r}: {got[p]!r} != {want!r}"
+        assert duck_got[p] == want, f"duck normalizer diverges on {p!r}: {duck_got[p]!r} != {want!r}"
