@@ -113,6 +113,65 @@ def _textstats_sql(dialect: str) -> str:
     )
 
 
+_TEXTSTATS_METRICS = ("avg_tokens", "avg_punct", "avg_quality", "avg_bpe_tokens")
+
+
+def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_quality_stats, long-normalized, + the unigram-NLL variant
+    (VERDICT r3 #3): the per-lang panel metrics stack into (variant, k,
+    cnt, val) rows off ONE documents scan, unioned with the REAL
+    ``operators.textstats.unigram_nll`` operator (vocab agg + AQE-chosen
+    join + per-doc fold) — val for NLL rows is floor(raw·1000)/1000, a
+    1e-3 quantization of the UNROUNDED mean so cross-engine libm log
+    differences (≲1 ulp) can't flip a compared digit (the
+    round(double, 6) HALF_UP-vs-binary trap, see module docstring)."""
+    from ocr_auto_label_spark.operators.textstats import unigram_nll
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    load_views(spark, sf_dir)
+    wide = spark.sql(_textstats_sql("spark"))
+    long_stats = wide.select(
+        F.col("lang").alias("k"),
+        F.col("cnt"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("variant"), F.col(m).alias("val"))
+            for m in _TEXTSTATS_METRICS
+        ])).alias("x"),
+    ).select("x.variant", "k", "cnt", "x.val")
+    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    nll = unigram_nll(docs, round_digits=None).select(
+        F.lit("unigram_nll").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("token_cnt").cast("bigint").alias("cnt"),
+        (F.floor(F.col("avg_nll") * 1000) / 1000).alias("val"),
+    )
+    return long_stats.unionByName(nll)
+
+
+def _text_quality_stats_duck() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT '{m}' AS variant, lang AS k, cnt, {m} AS val FROM w"
+        for m in _TEXTSTATS_METRICS
+    )
+    return f"""
+WITH w AS ({_textstats_sql('duck')}),
+toks AS (
+  SELECT doc_id, unnest({_duck_tokens('text')}) AS word FROM documents),
+toksf AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS vcnt FROM toksf GROUP BY word),
+tot AS (SELECT sum(vcnt) AS n_tokens, count(*) AS v_size FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         -ln((v.vcnt + 0.5) / (tot.n_tokens + 0.5 * tot.v_size)) AS nll
+  FROM toksf t JOIN vocab v USING (word) CROSS JOIN tot)
+{unions}
+UNION ALL
+SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
+       count(*) AS cnt, floor(avg(nll) * 1000) / 1000 AS val
+FROM scored GROUP BY doc_id
+"""
+
+
 def _color_family_sql() -> str:
     """X10 (groupInference.ts:105-166) as dialect-neutral SQL: synthesize a
     deterministic RGB per doc, convert to HSL with JS Math.round semantics
@@ -1459,7 +1518,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
     "embed_ann_variants": (_embed_ann_variants, None),  # recall<1 by design
     # --- training-data ops: text analysis ---
-    "text_quality_stats": (_textstats_sql("spark"), _textstats_sql("duck")),
+    # long-normalized panel metrics + the unigram-NLL corpus-LM quality
+    # proxy (real operator, AQE-chosen vocab join) in one entry
+    "text_quality_stats": (_text_quality_stats_spark, _text_quality_stats_duck()),
     "text_language_id": (_lang_id_spark, _lang_id_query_sql("duck")),
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
     "multimodal_profile": (_multimodal_profile, None),

@@ -368,4 +368,16 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    else:
+        # exhausting the budget without a fixed point would silently split
+        # a true duplicate cluster downstream (ADVICE r3) — surface it
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no convergence after {max_iterations} "
+            f"iterations ({changed} labels still moving) — returned "
+            "components may be split; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -116,6 +116,7 @@ def unigram_nll(
     text_col: str = "text",
     id_col: str = "doc_id",
     smoothing: float = 0.5,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Corpus-derived unigram negative log-likelihood per document — the
     CCNet-style language-model quality proxy (high NLL ≈ improbable/noisy
@@ -125,9 +126,14 @@ def unigram_nll(
 
     Scale shape: ONE explode+groupBy builds the vocabulary (map-side
     combined; the vocab table is tiny relative to the corpus — Zipf), the
-    token stream joins it by word (broadcast when small, AQE otherwise),
-    and a per-doc agg folds the scores.  Output: (id, token_cnt,
-    avg_nll) — avg_nll rounded to 6 for cross-run stability.
+    token stream joins it by word — strategy left to AQE, which
+    broadcasts when the built vocab is under the threshold and falls back
+    to a shuffle join when a corpus-wide vocabulary outgrows broadcast
+    limits (an unconditional broadcast hint would OOM at 10⁹-row scale —
+    ADVICE r3) — and a per-doc agg folds the scores.  The 1-row totals
+    frame stays an explicit broadcast.  Output: (id, token_cnt, avg_nll),
+    rounded to ``round_digits`` for cross-run stability (None = raw, for
+    callers that re-quantize themselves).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -138,7 +144,7 @@ def unigram_nll(
         F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
     )
     scored = (
-        toks.join(F.broadcast(vocab), "word")
+        toks.join(vocab, "word")
         .crossJoin(F.broadcast(totals))
         .select(
             "id",
@@ -148,7 +154,10 @@ def unigram_nll(
             )).alias("nll"),
         )
     )
+    avg = F.avg("nll")
+    if round_digits is not None:
+        avg = F.round(avg, round_digits)
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("token_cnt"),
-        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        avg.alias("avg_nll"),
     )
