@@ -867,20 +867,27 @@ def _streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _streaming_deduped_counts(spark: SparkSession) -> DataFrame:
     """Bounded-state ingest dedup (dropDuplicatesWithinWatermark): drain
-    an input containing a re-delivered file, count surviving turns per
-    conv — every duplicate must be dropped, every unique kept."""
+    an input containing a fully re-delivered file, count surviving turns
+    per conv — every duplicate must be dropped, every unique kept.  The
+    source is the CACHED seed-11 table (a deterministic static path), so
+    the DuckDB oracle can read the same parquet and assert the drained
+    result equals the exact per-conv distinct counts."""
     import os
+    import shutil
     import tempfile
 
-    from ocr_auto_label_spark.datagen import generate_transcripts
+    from ocr_auto_label_spark.datagen import transcripts_parquet
     from ocr_auto_label_spark.streaming.pipeline import run_deduped_ingest
 
     base = tempfile.mkdtemp(prefix="stream_dd_")
     d = os.path.join(base, "in")
     os.makedirs(d)
-    pdf = generate_transcripts(2_000, seed=11)
-    pdf.to_parquet(f"{d}/part1.parquet", index=False)
-    pdf.iloc[:800].to_parquet(f"{d}/redelivered.parquet", index=False)
+    src = transcripts_parquet(2_000, seed=11)
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    for p in parts:
+        shutil.copy(os.path.join(src, p), os.path.join(d, p))
+    # re-deliver the first file whole — the at-least-once duplicate case
+    shutil.copy(os.path.join(src, parts[0]), os.path.join(d, "redelivered.parquet"))
     q = run_deduped_ingest(spark, d, f"{base}/out", f"{base}/ckpt")
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out").groupBy("conv_id").agg(
@@ -888,11 +895,77 @@ def _streaming_deduped_counts(spark: SparkSession) -> DataFrame:
     )
 
 
+def _streaming_pipeline_duck() -> str:
+    """DuckDB oracle for the drained streaming pipeline (VERDICT r3 #6):
+    the STREAMING mechanics aren't SQL-expressible, but every drained
+    RESULT is deterministic batch arithmetic —
+
+    - windowed: append mode emits exactly the windows the final watermark
+      finalized, i.e. window_end <= max(ts) - watermark (4 min) over the
+      whole drained input (verified empirically: the drained set equals
+      this predicate's set on the pinned corpus); per-window label hits
+      come from the repair twin-lite (token scan + confusion repair
+      validity — ``has_label`` ⟺ some token repairs within 2 edits, the
+      noise gate can't fire on grammar-valid labels whose confidence
+      floor is 0.614 > 0.35),
+    - stateful: the running-totals state machine's final per-conv updates
+      equal the whole-input group-by,
+    - dedup_ingest: with a fully re-delivered file, surviving turns equal
+      the base table's per-conv counts.
+    """
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.confusion_sql import repair_query_sql
+    from ocr_auto_label_spark.functions.flagship_sql import token_matches_sql
+
+    p42 = transcripts_parquet(2_000)
+    p11 = transcripts_parquet(2_000, seed=11)
+    scan = token_matches_sql("duck", ["conv_id", "turn_idx"], "scan_src")
+    repair = repair_query_sql(
+        "duck", "FROM matches", carry_cols=["conv_id", "turn_idx"],
+        code_col="token",
+    )
+    return f"""
+WITH src AS (SELECT conv_id, turn_idx, ts, text, tool
+             FROM read_parquet('{p42}/*.parquet')),
+scan_src AS (
+  SELECT conv_id, turn_idx, text AS s FROM src
+  UNION ALL
+  SELECT conv_id, turn_idx, tool AS s FROM src WHERE tool IS NOT NULL),
+matches AS ({scan}),
+repairq AS ({repair}),
+hits AS (SELECT DISTINCT conv_id, turn_idx FROM repairq
+         WHERE repaired IS NOT NULL),
+turns AS (
+  SELECT s.conv_id, s.turn_idx, s.ts,
+         CAST(h.conv_id IS NOT NULL AS BIGINT) AS has_label
+  FROM src s LEFT JOIN hits h
+    ON s.conv_id = h.conv_id AND s.turn_idx = h.turn_idx),
+w AS (SELECT conv_id, CAST(floor(epoch(ts)/120)*120 AS BIGINT) AS ws,
+             has_label FROM turns),
+mx AS (SELECT max(epoch(ts)) AS mx FROM src)
+SELECT 'windowed' AS variant,
+       strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start_iso,
+       conv_id, count(*) AS turns,
+       CAST(sum(has_label) AS BIGINT) AS turns_with_label
+FROM w, mx WHERE ws + 120 <= mx - 240 GROUP BY ws, conv_id
+UNION ALL
+SELECT 'stateful' AS variant, CAST(NULL AS VARCHAR) AS window_start_iso,
+       conv_id, count(*) AS turns,
+       CAST(sum(has_label) AS BIGINT) AS turns_with_label
+FROM turns GROUP BY conv_id
+UNION ALL
+SELECT 'dedup_ingest' AS variant, CAST(NULL AS VARCHAR) AS window_start_iso,
+       conv_id, count(*) AS turns, CAST(NULL AS BIGINT) AS turns_with_label
+FROM read_parquet('{p11}/*.parquet') GROUP BY conv_id
+"""
+
+
 def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 in one entry: the availableNow watermarked-window drain, the
     applyInPandasWithState running totals, AND the watermark-bounded
-    ingest dedup, union-normalized with a variant column (all three not
-    SQL-expressible → rows-only)."""
+    ingest dedup, union-normalized with a variant column.  The Spark side
+    runs the REAL streams; the drained results are oracle-checked against
+    ``_streaming_pipeline_duck``'s batch reformulation."""
     win = _streaming_windowed_counts(spark, sf_dir).select(
         F.lit("windowed").alias("variant"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_iso"),
@@ -1174,8 +1247,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # now oracle-backed (real pandas-UDF operator vs relational DuckDB
     # reformulation — fully independent implementations) ---
     "infer_groups_keyed": (_infer_groups_keyed, _infer_groups_keyed_duck()),
-    # --- structured streaming (availableNow drains; not SQL-expressible) ---
-    "streaming_pipeline": (_streaming_pipeline, None),
+    # --- structured streaming (availableNow drains); the drained results
+    # ARE deterministic batch arithmetic → oracle-backed since r4 ---
+    "streaming_pipeline": (_streaming_pipeline, _streaming_pipeline_duck()),
     # --- windows (W1-W8) ---
     "w2_stable_turn_ordering": (
         "SELECT event_id, row_number() OVER (PARTITION BY user_id "
