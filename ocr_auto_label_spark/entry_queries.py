@@ -745,25 +745,125 @@ def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _auto_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive auto-grouping exercised on an events-derived frame:
-    'purchase' rows are labeled sources, 'click' rows get grouped."""
+    """Transitive auto-grouping on an events-derived frame: 'purchase'
+    rows are labeled sources (each with a DISTINCT group, so assignments
+    must propagate through chains), 'click' rows get grouped.
+
+    The r3 fixture was degenerate — desc/colors were the event_type
+    strings, so every purchase→click pair scored only the 0.2 time decay
+    (< the 0.35 gate) and NOTHING ever grouped; the fold never exercised
+    transitivity driver-side.  Now user_id % 3 picks the match mode:
+    0 = desc+colors both match (score 1.4+decay → confidence clamps to
+    1.0), 1 = desc-only (0.8+decay·0.2), 2 = colors-only (0.6+decay·0.2,
+    a sub-1.0 float confidence) — every mode accepts, so grouping chains
+    through consecutive ≤2-min gaps and the picked source is the
+    nearest-in-time (argmax decay, strict-> first-seen tie-break)."""
     from ocr_auto_label_spark.operators.grouping import auto_group
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    frame = events.select(
+    frame = events.filter(F.col("event_type").isin("purchase", "click")).select(
         F.col("event_id").cast("string").alias("id"),
         F.col("user_id"),
-        (F.col("ts").cast("timestamp").cast("long") * 1000).alias("ts_ms"),
+        # epoch SECONDS as the ms axis (a 1000x time compression):
+        # the raw events table is minutes-sparse per user, which left
+        # the +/-2-min window empty almost everywhere (7 groupings at
+        # sf0.01, zero chains); compressed, the window covers real gaps
+        # up to 120000 s (median per-user gap ~63k s) so acceptance,
+        # rejection AND transitive chains all occur
+        F.col("ts").cast("timestamp").cast("long").alias("ts_ms"),
         F.when(F.col("event_type") == "purchase",
-               F.concat(F.lit("g"), F.col("user_id"))).alias("group"),
+               F.concat(F.lit("g"), F.col("user_id"), F.lit("_"),
+                        F.col("event_id"))).alias("group"),
         F.when(F.col("event_type") == "purchase", F.lit("extracted"))
         .otherwise(F.lit("pending_grouping")).alias("status"),
-        F.col("event_type").alias("desc"),
-        F.array(F.col("event_type")).alias("colors"),
+        F.when(F.col("user_id") % 3 != 2, F.lit("shared item record"))
+        .alias("desc"),
+        F.when(F.col("user_id") % 3 != 1, F.array(F.lit("red")))
+        .otherwise(F.array().cast("array<string>")).alias("colors"),
         F.lit(None).cast("double").alias("grouping_confidence"),
-    ).filter(F.col("desc").isin("purchase", "click"))
+    )
     # cluster per user (the conv_id analog) — parallel, no global window
     return auto_group(frame, key_cols=["user_id"])
+
+
+def _auto_group_duck() -> str:
+    """DuckDB oracle for the sequential-transitive fold (VERDICT r3 #4),
+    derived from the fixture's structure rather than replicating the
+    pandas loop:
+
+    - Every candidate pair in a user shares one attribute profile, so the
+      score is strictly decreasing in |Δt| within the ±2-min window —
+      acceptance reduces to EXISTENCE of an eligible source, the argmax
+      to argmin |Δt| (strict-> tie → first in (ts, id) iteration order),
+      and both are exact integer arithmetic.
+    - The single ts-ascending pass means a click may source only
+      (a) purchases anywhere in its window, or (b) EARLIER-ordered clicks
+      that themselves grouped — so the grouped set is the least fixed
+      point of a forward-in-time reachability operator: recursive CTE #1
+      (``reach``).  Group values then flow down the one-parent-per-click
+      forest rooted at purchases: recursive CTE #2 (``prop``).
+    - Confidence replicates the Python float op tree exactly
+      (tier + color, then + decay·0.2, then min(·, 1.0)) so the doubles
+      are bit-identical, not just close (grouping.ts:157-206 semantics).
+    """
+    decay = "1.0 - (CAST(b.dt AS DOUBLE) / 120000)"
+    base = ("CASE b.user_id % 3 WHEN 0 THEN 0.8 + 0.6 "
+            "WHEN 1 THEN 0.8 + 0.0 ELSE 0.0 + 0.6 END")
+    return f"""
+WITH RECURSIVE frame AS (
+  SELECT CAST(event_id AS VARCHAR) AS id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_ms,
+         event_type = 'purchase' AS is_p,
+         CASE WHEN event_type = 'purchase'
+              THEN concat('g', user_id, '_', event_id) END AS grp
+  FROM events WHERE event_type IN ('purchase', 'click')),
+purch AS (SELECT * FROM frame WHERE is_p),
+clicks AS (SELECT * FROM frame WHERE NOT is_p),
+reach AS (
+  SELECT c.user_id, c.id, c.ts_ms
+  FROM clicks c JOIN purch p ON p.user_id = c.user_id
+   AND abs(p.ts_ms - c.ts_ms) <= 120000
+  UNION
+  SELECT c.user_id, c.id, c.ts_ms
+  FROM clicks c JOIN reach g ON g.user_id = c.user_id
+   AND abs(g.ts_ms - c.ts_ms) <= 120000
+   AND (g.ts_ms < c.ts_ms OR (g.ts_ms = c.ts_ms AND g.id < c.id))),
+sources AS (
+  SELECT user_id, id, ts_ms, TRUE AS is_p FROM purch
+  UNION ALL
+  SELECT user_id, id, ts_ms, FALSE AS is_p FROM reach),
+cand AS (
+  SELECT c.id AS cid, c.user_id, s.id AS sid, s.ts_ms AS sts,
+         abs(s.ts_ms - c.ts_ms) AS dt
+  FROM reach c JOIN sources s ON s.user_id = c.user_id
+   AND abs(s.ts_ms - c.ts_ms) <= 120000
+   AND (s.is_p OR s.ts_ms < c.ts_ms
+        OR (s.ts_ms = c.ts_ms AND s.id < c.id))
+   AND s.id <> c.id),
+best AS (
+  SELECT cid, user_id, sid, dt FROM (
+    SELECT cid, user_id, sid, dt,
+           row_number() OVER (PARTITION BY cid ORDER BY dt, sts, sid) AS rn
+    FROM cand) q WHERE rn = 1),
+prop AS (
+  SELECT id, grp FROM purch
+  UNION ALL
+  SELECT b.cid, p.grp FROM best b JOIN prop p ON b.sid = p.id),
+assigned AS (
+  SELECT b.cid AS id, p.grp,
+         least({base}
+               + (CASE WHEN {decay} > 0.0 THEN {decay} ELSE 0.0 END) * 0.2,
+               1.0) AS confidence
+  FROM best b JOIN prop p ON p.id = b.cid)
+SELECT f.id, f.ts_ms, coalesce(a.grp, f.grp) AS "group",
+       CASE WHEN f.is_p THEN 'extracted'
+            WHEN a.id IS NOT NULL THEN 'auto_grouped'
+            ELSE 'ungrouped' END AS status,
+       CASE WHEN f.is_p THEN CAST(NULL AS DOUBLE)
+            WHEN a.id IS NOT NULL THEN a.confidence
+            ELSE 0.0 END AS grouping_confidence
+FROM frame f LEFT JOIN assigned a ON f.id = a.id
+"""
 
 
 def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,8 +1341,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "extract_flagship_sql_twin": (_flagship_twin_spark, _flagship_twin_duck()),
     # --- E2 composed lifecycle (group move → re-index → status) ---
     "lifecycle_e2_reindex": (_lifecycle_e2, _lifecycle_e2_duck()),
-    # --- stateful grouping (sequential-transitive fold) ---
-    "auto_group_transitive": (_auto_group_events, None),
+    # --- stateful grouping (sequential-transitive fold): the REAL
+    # applyInPandas fold vs a recursive-CTE reachability + one-parent
+    # propagation reformulation (fixture-structure-exact) ---
+    "auto_group_transitive": (_auto_group_events, _auto_group_duck()),
     # --- ±9-row inference: keyed scale path is the registered default,
     # now oracle-backed (real pandas-UDF operator vs relational DuckDB
     # reformulation — fully independent implementations) ---
