@@ -121,7 +121,7 @@ def test_token_scan_sql_offset_exact_vs_token_re(spark):
     load_views(spark, sf_dir)
     # reuse the entry's own source-string synthesis (the WITH src clause)
     sql = _token_scan_sql("spark")
-    src_sql = sql.split("), m AS (")[0].replace("WITH src AS (", "")
+    src_sql = sql.split("), x AS (")[0].replace("WITH src AS (", "")
     raw = {r.doc_id: r.s for r in spark.sql(src_sql).collect()}
     got = {}
     for r in spark.sql(sql).collect():
