@@ -6,9 +6,11 @@ representative slice of the operator registry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Usage:
-    python bench.py                  # suite + N vs 4N scaling (default 2,8)
+    python bench.py                  # suite + interleaved scaling over the
+                                     # in-capacity pairs (1,4) and (2,8)
     python bench.py --no-scaling     # suite only
     SPARK_GRAFT_SCALE_PAIR=4,16 SPARK_GRAFT_SCALE_TURNS=800000 python bench.py
+                                     # measure ONE custom pair instead
 
 Every query is materialized through the noop sink so Catalyst can't
 short-circuit column computation under count().
@@ -108,14 +110,14 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
 
 def _flagship_df(spark, path: str):
     """The flagship narrow plan (scan → ArrowEvalPython → explode) over an
-    arbitrary transcripts parquet — identical plan shape to the
-    ``extract_flagship`` registry entry."""
-    from ocr_auto_label_spark.plans.extraction_pipeline import extract_candidates_flat
-
-    return extract_candidates_flat(spark.read.parquet(path)).select(
-        "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
-        "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
+    arbitrary transcripts parquet — identical plan shape and projection to
+    the ``extract_flagship`` registry entry."""
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        FLAGSHIP_COLS,
+        extract_candidates_flat,
     )
+
+    return extract_candidates_flat(spark.read.parquet(path)).select(*FLAGSHIP_COLS)
 
 
 def _timed_session(master: str, shuffle_partitions: int, path: str,
@@ -148,21 +150,36 @@ def scaling_block(n_turns: int) -> dict:
     gets >=3 timed reps spread across >=2 time-separated sessions, raw
     per-rep times ship in the artifact, and BOTH in-capacity pairs (1->4,
     2->8 — <=8 busy cores on this 32-core host, see BENCH/BASELINE.md
-    §control for the saturation measurement) are reported.  Headline
-    ``efficiency`` = the best measured pair: the plan property under test
-    (zero shuffles => linear scaling) is the same for both pairs, and
-    host-noise on a shared box only ever *lowers* a measured ratio, so the
-    max across two independent in-capacity measurements is the least-noisy
-    estimate (each pair's own evidence stays in ``pairs``/``raw_times``).
-    A short settle sleep separates sessions; the input stays page-cached
-    deliberately so every leg reads memory-speed input (IO noise would
-    otherwise dominate the lo legs)."""
+    §control for the saturation measurement) are reported, or ONE custom
+    pair when SPARK_GRAFT_SCALE_PAIR=lo,hi is set.
+
+    Headline ``efficiency`` = the best measured pair, with the
+    conservative min published alongside (``efficiency_conservative``)
+    and every pair's own evidence in ``pairs``/``raw_times_sec``.  Why
+    best-of is sound here: each leg's throughput uses its FASTEST rep,
+    and host interference can only *slow* a run, never speed it up — so
+    per-leg bests are upward-bounded by the noise-free time and a pair's
+    efficiency error comes only from residual slowdown still present in
+    the best rep.  Interleaving spreads each leg's reps across the whole
+    measurement window, so residual slowdown hits lo and hi legs alike
+    rather than systematically deflating one denominator (the r3 failure
+    mode, and the scenario that would otherwise let a lo-leg-slow pair
+    read as super-linear).  A short settle sleep separates sessions; the
+    input stays page-cached deliberately so every leg reads memory-speed
+    input (IO noise would otherwise dominate the lo legs)."""
     from ocr_auto_label_spark.datagen import transcripts_parquet
 
     path = transcripts_parquet(n_turns)
-    # alternating lo/hi schedule; per-leg session counts: 2c×2, 8c×3,
-    # 1c×2, 4c×2 → per-leg timed reps: 4, 6, 4, 4 (2 per session)
-    schedule = [2, 8, 1, 4, 8, 2, 4, 1, 8]
+    pair_env = os.environ.get("SPARK_GRAFT_SCALE_PAIR")
+    if pair_env:
+        lo, hi = (int(x) for x in pair_env.split(","))
+        cmp_pairs = [(lo, hi)]
+        schedule = [lo, hi, lo, hi, lo, hi]
+    else:
+        cmp_pairs = [(1, 4), (2, 8)]
+        # alternating lo/hi schedule; per-leg session counts: 2c×2, 8c×3,
+        # 1c×2, 4c×2 → per-leg timed reps: 4, 6, 4, 4 (2 per session)
+        schedule = [2, 8, 1, 4, 8, 2, 4, 1, 8]
     raw: dict[int, list[float]] = {c: [] for c in set(schedule)}
     for cores in schedule:
         raw[cores].extend(
@@ -171,7 +188,7 @@ def scaling_block(n_turns: int) -> dict:
         time.sleep(2.0)  # settle between legs
     thr = {c: round(n_turns / min(v), 1) for c, v in raw.items()}
     pairs = []
-    for lo, hi in ((1, 4), (2, 8)):
+    for lo, hi in cmp_pairs:
         speedup = thr[hi] / thr[lo]
         pairs.append({
             "cores_lo": lo,
@@ -183,7 +200,8 @@ def scaling_block(n_turns: int) -> dict:
     return {
         "turns": n_turns,
         "method": "interleaved sessions, best-of-all-reps per leg; "
-                  "efficiency = best in-capacity pair",
+                  "efficiency = best in-capacity pair "
+                  "(conservative min alongside)",
         "raw_times_sec": {f"local{c}": raw[c] for c in sorted(raw)},
         "turns_per_sec": {f"local{c}": thr[c] for c in sorted(thr)},
         "pairs": pairs,
@@ -191,6 +209,7 @@ def scaling_block(n_turns: int) -> dict:
         "cores_hi": best["cores_hi"],
         "speedup": best["speedup"],
         "efficiency": best["efficiency"],
+        "efficiency_conservative": min(p["efficiency"] for p in pairs),
     }
 
 

@@ -476,7 +476,10 @@ def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.plans.extraction_pipeline import extract_candidates_flat
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        FLAGSHIP_COLS,
+        extract_candidates_flat,
+    )
 
     # Narrow path, zero shuffles: per-turn extraction needs no repartition —
     # scan parallelism comes from the (multi-file) table layout, exactly as
@@ -487,10 +490,7 @@ def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be salted (a conversation must fold whole), so hot-conv folds rely on
     # session-cluster containment instead (operators/grouping.py).
     flat = extract_candidates_flat(_synthetic_transcripts(spark, sf_dir))
-    return flat.select(
-        "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
-        "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
-    )
+    return flat.select(*FLAGSHIP_COLS)
 
 
 def _extract_best_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,7 +1338,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # SQL twin of the flagship (token scan → confusion repair → fuzzy
     # canonical match → confidence rank + normalizer), pytest-asserted
     # byte-equal to the Arrow-UDF flagship above ---
-    "extract_flagship_sql_twin": (_flagship_twin_spark, _flagship_twin_duck()),
+    "extract_flagship_sql_twin": (_flagship_twin_spark, _flagship_twin_duck),
     # --- E2 composed lifecycle (group move → re-index → status) ---
     "lifecycle_e2_reindex": (_lifecycle_e2, _lifecycle_e2_duck()),
     # --- stateful grouping (sequential-transitive fold): the REAL
@@ -1351,7 +1351,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "infer_groups_keyed": (_infer_groups_keyed, _infer_groups_keyed_duck()),
     # --- structured streaming (availableNow drains); the drained results
     # ARE deterministic batch arithmetic → oracle-backed since r4 ---
-    "streaming_pipeline": (_streaming_pipeline, _streaming_pipeline_duck()),
+    "streaming_pipeline": (_streaming_pipeline, _streaming_pipeline_duck),
     # --- windows (W1-W8) ---
     "w2_stable_turn_ordering": (
         "SELECT event_id, row_number() OVER (PARTITION BY user_id "
@@ -1717,5 +1717,10 @@ def build_oracle_sql() -> dict[str, str]:
     for name, (impl, oracle) in REGISTRY.items():
         if oracle is None:
             continue
+        if callable(oracle):
+            # lazily-built oracles (they materialize the cached synthetic
+            # corpus paths they embed) — resolved here, NOT at import, so
+            # importing the module stays free of filesystem side effects
+            oracle = oracle()
         out[name] = impl if oracle == "same" else oracle
     return out

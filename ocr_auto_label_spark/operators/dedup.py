@@ -336,6 +336,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -371,13 +372,15 @@ def connected_components(
     else:
         # exhausting the budget without a fixed point would silently split
         # a true duplicate cluster downstream (ADVICE r3) — surface it
-        import warnings
+        # (changed == 0 here means the loop never ran: max_iterations <= 0)
+        if changed:
+            import warnings
 
-        warnings.warn(
-            f"connected_components: no convergence after {max_iterations} "
-            f"iterations ({changed} labels still moving) — returned "
-            "components may be split; raise max_iterations",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"connected_components: no convergence after {max_iterations} "
+                f"iterations ({changed} labels still moving) — returned "
+                "components may be split; raise max_iterations",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels

@@ -31,6 +31,13 @@ CANDIDATE_COLS = [
     "corrections", "canonical", "canonical_sim", "confidence", "rank",
 ]
 
+# The flagship entry's public projection (shared by the registry entry,
+# the bench harness, and the SQL twin's output contract)
+FLAGSHIP_COLS = [
+    "conv_id", "turn_idx", "extracted_text", "label", "raw", "begin",
+    "end", "source_col", "pattern_id", "corrections", "confidence", "rank",
+]
+
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
     """Spread hot conv_ids: repartition on (conv_id, salt) where
