@@ -515,25 +515,34 @@ def _extract_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _flagship_twin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed flagship SQL twin (functions/flagship_sql.py): token
-    scan → confusion repair → blocked fuzzy canonical match → confidence
-    rank + the boilerplate-normalizer twin, as ONE Spark SQL query over
-    the synthetic transcripts.  Byte-equality with the Arrow-UDF flagship
-    is asserted in tests/test_flagship_twin.py; the DuckDB dialect is the
-    driver oracle — together they certify the composed extraction
-    semantics driver-side (VERDICT r3 #2).
+    """The REAL Arrow-UDF flagship pipeline vs the composed SQL twin
+    (functions/flagship_sql.py — token scan → confusion repair → blocked
+    fuzzy canonical match → confidence rank + the boilerplate-normalizer
+    twin): the Spark side here runs ``extract_candidates_flat`` itself
+    (ArrowEvalPython, the production operator), and the driver hashes it
+    against the twin's DuckDB dialect — so the driver-side green row
+    certifies the ARROW extraction output, not merely a SQL
+    reformulation of it.  The Spark-SQL dialect of the twin is pinned
+    byte-equal to both in tests/test_flagship_twin.py (three independent
+    implementations agree).  VERDICT r3 #2.
 
     Corpus pinned at 2 000 turns regardless of sf (like the streaming
     entries): the oracle SQL is a static string, so both sides must agree
     on the input independent of the driver's sf_dir; the at-scale
     flagship itself stays the separate ``extract_flagship`` entry."""
     from ocr_auto_label_spark.datagen import transcripts_parquet
-    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
     from ocr_auto_label_spark.operators.util import ensure_parallelism
+    from ocr_auto_label_spark.plans.extraction_pipeline import (
+        FLAGSHIP_COLS,
+        extract_candidates_flat,
+    )
 
     df = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
-    df.createOrReplaceTempView("__twin_transcripts")
-    return spark.sql(flagship_twin_sql("spark", "__twin_transcripts"))
+    flat = extract_candidates_flat(df).select(*FLAGSHIP_COLS)
+    # span/count types widened to the twin's SQL types (BIGINT offsets)
+    return flat.withColumn("begin", F.col("begin").cast("long")).withColumn(
+        "end", F.col("end").cast("long")
+    )
 
 
 def _flagship_twin_duck() -> str:

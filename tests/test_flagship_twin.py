@@ -27,14 +27,26 @@ def _rows(df):
     return sorted(tuple(r) for r in df.select(TWIN_COLS).collect())
 
 
+def _spark_sql_twin(spark):
+    """The Spark-SQL dialect of the twin over the pinned 2k corpus (the
+    registry entry's Spark side runs the ARROW pipeline instead — the
+    SQL dialect is pinned here)."""
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
+    df.createOrReplaceTempView("__twin_sql_transcripts")
+    return spark.sql(flagship_twin_sql("spark", "__twin_sql_transcripts"))
+
+
 def test_twin_equals_arrow_flagship(spark):
-    """Exact equality — including extracted_text (the 10-step normalizer
-    twin), 0-based raw-string offsets, the round-half-even confidence
-    doubles, and the strict per-turn rank."""
-    sf = "/root/testdata/sf0.001"
-    flag = _rows(eq._extract_flagship(spark, sf))
-    twin = _rows(eq._flagship_twin_spark(spark, sf))
-    assert len(flag) == len(twin)
+    """Spark-SQL twin == the Arrow-UDF pipeline, exactly — including
+    extracted_text (the 10-step normalizer twin), 0-based raw-string
+    offsets, the round-half-even confidence doubles, and the strict
+    per-turn rank.  (The registry entry compares Arrow vs the DuckDB
+    dialect in the driver; this pins the Spark-SQL dialect to both.)"""
+    flag = _rows(eq._flagship_twin_spark(spark, "/root/testdata/sf0.001"))
+    twin = _rows(_spark_sql_twin(spark))
+    assert len(flag) == len(twin) > 2000
     mism = [(a, b) for a, b in zip(flag, twin) if a != b]
     assert not mism, f"first mismatches: {mism[:3]}"
 
@@ -49,7 +61,7 @@ def test_twin_duck_equals_twin_spark(spark):
             flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
         ).fetchall()
     )
-    twin = _rows(eq._flagship_twin_spark(spark, "/root/testdata/sf0.001"))
+    twin = _rows(_spark_sql_twin(spark))
     assert len(duck) == len(twin)
     mism = [(a, b) for a, b in zip(twin, duck) if a != b]
     assert not mism, f"first mismatches: {mism[:3]}"
