@@ -278,3 +278,22 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_sql_twin_broadcasts_canonical_dim_and_stays_jvm_side(spark):
+    """The composed flagship SQL twin's physical plan: the 2000-row
+    canonical VALUES dim joins via BroadcastHashJoin (a LocalRelation
+    broadcast — the J6 shape that survives 10^12 probe rows), and the
+    whole query stays JVM-side (no Python eval of any kind — the twin is
+    the pure-SQL reformulation of the Arrow pipeline)."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+
+    spark.read.parquet(transcripts_parquet(2_000)).createOrReplaceTempView(
+        "__twin_plan_probe"
+    )
+    df = spark.sql(flagship_twin_sql("spark", "__twin_plan_probe"))
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan  # neither Batch- nor Arrow-: no Python
