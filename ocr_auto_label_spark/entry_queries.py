@@ -125,7 +125,10 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-3 quantization of the UNROUNDED mean so cross-engine libm log
     differences (≲1 ulp) can't flip a compared digit (the
     round(double, 6) HALF_UP-vs-binary trap, see module docstring)."""
-    from ocr_auto_label_spark.operators.textstats import unigram_nll
+    from ocr_auto_label_spark.operators.textstats import (
+        repetition_stats,
+        unigram_nll,
+    )
     from ocr_auto_label_spark.operators.util import ensure_parallelism
 
     load_views(spark, sf_dir)
@@ -145,7 +148,22 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token_cnt").cast("bigint").alias("cnt"),
         (F.floor(F.col("avg_nll") * 1000) / 1000).alias("val"),
     )
-    return long_stats.unionByName(nll)
+    # Gopher-style repetition gates (real operator; exact int/int ratios
+    # so no rounding is needed for the cross-engine hash)
+    rep = repetition_stats(docs)
+    dup = rep.select(
+        F.lit("dup_word_frac").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("token_cnt").cast("bigint").alias("cnt"),
+        F.col("dup_word_frac").alias("val"),
+    )
+    top = rep.select(
+        F.lit("top_bigram_frac").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("bigram_cnt").alias("cnt"),
+        F.col("top_bigram_frac").alias("val"),
+    )
+    return long_stats.unionByName(nll).unionByName(dup).unionByName(top)
 
 
 def _text_quality_stats_duck() -> str:
@@ -163,12 +181,32 @@ tot AS (SELECT sum(vcnt) AS n_tokens, count(*) AS v_size FROM vocab),
 scored AS (
   SELECT t.doc_id,
          -ln((v.vcnt + 0.5) / (tot.n_tokens + 0.5 * tot.v_size)) AS nll
-  FROM toksf t JOIN vocab v USING (word) CROSS JOIN tot)
+  FROM toksf t JOIN vocab v USING (word) CROSS JOIN tot),
+rt AS (SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),
+rbase AS (
+  SELECT doc_id, len(t) AS token_cnt,
+         1.0 - len(list_distinct(t)) / len(t) AS dupf, t FROM rt),
+rgrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                       i -> concat(t[i], ' ', t[i + 1]))) AS gram
+  FROM rt),
+rper AS (SELECT doc_id, gram, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
+rdoc AS (SELECT doc_id, max(cnt) AS top_cnt,
+                CAST(sum(cnt) AS BIGINT) AS bigram_cnt
+         FROM rper GROUP BY 1)
 {unions}
 UNION ALL
 SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
        count(*) AS cnt, floor(avg(nll) * 1000) / 1000 AS val
 FROM scored GROUP BY doc_id
+UNION ALL
+SELECT 'dup_word_frac' AS variant, CAST(b.doc_id AS VARCHAR) AS k,
+       CAST(b.token_cnt AS BIGINT) AS cnt, b.dupf AS val FROM rbase b
+UNION ALL
+SELECT 'top_bigram_frac' AS variant, CAST(b.doc_id AS VARCHAR) AS k,
+       CAST(coalesce(d.bigram_cnt, 0) AS BIGINT) AS cnt,
+       coalesce(d.top_cnt / d.bigram_cnt, 0.0) AS val
+FROM rbase b LEFT JOIN rdoc d USING (doc_id)
 """
 
 

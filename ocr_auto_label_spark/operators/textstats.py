@@ -111,6 +111,63 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document — the
+    standard "repetitious text" quality gates a training-data pipeline
+    runs before dedup (Rae et al. 2021 §A1.1 repetition filters):
+
+    - ``dup_word_frac``: 1 − |distinct words| / |words| (narrow column
+      math, no shuffle),
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / total bigrams (explode → count → per-doc argmax: one map-side-
+      combined shuffle keyed by (doc, gram) — the relational shape that
+      holds at 10⁹ docs; docs with <2 tokens report 0).
+
+    All fractions are exact integer ratios (int/int division is the same
+    IEEE double in every engine) so a DuckDB oracle hash-matches without
+    rounding games.  Output: (id, token_cnt, dup_word_frac, bigram_cnt,
+    top_bigram_frac).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("toks")
+    )
+    base = toks.select(
+        "id",
+        F.size("toks").alias("token_cnt"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks"))
+         / F.size("toks")).alias("dup_word_frac"),
+        "toks",
+    )
+    grams = base.select(
+        "id",
+        # sequence(1, 0) DESCENDS in Spark, so the <2-token case needs the
+        # filter guard (the confusion_sql idiom), not greatest(·, 0)
+        F.explode(F.expr(
+            "transform(filter(sequence(1, greatest(size(toks) - 1, 1)), "
+            "i -> i <= size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        )).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("bigram_cnt")
+    )
+    return (
+        base.drop("toks")
+        .join(per_doc, "id", "left")
+        .select(
+            "id", "token_cnt", "dup_word_frac",
+            F.coalesce(F.col("bigram_cnt"), F.lit(0)).cast("long").alias("bigram_cnt"),
+            F.coalesce(F.col("top_cnt") / F.col("bigram_cnt"), F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",

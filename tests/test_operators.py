@@ -357,3 +357,33 @@ def test_unigram_nll_matches_python(spark):
         assert got[doc_id][0] == len(toks)
         assert abs(got[doc_id][1] - want) < 1e-6, (doc_id, got[doc_id][1], want)
     assert got[3][1] < got[0][1] < got[2][1]  # frequent < mixed < rare
+
+
+def test_repetition_stats_matches_python(spark):
+    """Gopher-style repetition signals == a pure-Python recomputation,
+    including the <2-token degenerate case and a fully-repetitious doc."""
+    from collections import Counter
+
+    from ocr_auto_label_spark.operators.textstats import repetition_stats
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "spam spam spam spam spam"),
+        (2, "one"),
+        (3, "alpha beta alpha beta alpha beta"),
+        (4, "all distinct words here today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r.id: (r.token_cnt, r.dup_word_frac, r.bigram_cnt, r.top_bigram_frac)
+        for r in repetition_stats(df).collect()
+    }
+    for doc_id, text in docs:
+        words = text.lower().split()
+        dup = 1.0 - len(set(words)) / len(words)
+        grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        top = (max(Counter(grams).values()) / len(grams)) if grams else 0.0
+        assert got[doc_id] == (len(words), dup, len(grams), top), doc_id
+    assert got[1][1] == 0.8  # 5 spams -> 1 distinct
+    assert got[1][3] == 1.0  # every bigram identical
+    assert got[2] == (1, 0.0, 0, 0.0)  # single-token degenerate case
