@@ -387,3 +387,37 @@ def test_repetition_stats_matches_python(spark):
     assert got[1][1] == 0.8  # 5 spams -> 1 distinct
     assert got[1][3] == 1.0  # every bigram identical
     assert got[2] == (1, 0.0, 0, 0.0)  # single-token degenerate case
+
+
+def test_replicated_transcripts_remaps_and_scales(spark, tmp_path):
+    """The data-scaling bench input builder: factor× rows, conv_ids
+    remapped per copy (r{k}- prefix) so replicas never merge
+    conversations, content otherwise identical per copy."""
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.datagen import (
+        replicated_transcripts,
+        transcripts_parquet,
+    )
+
+    base_path = transcripts_parquet(1_500)
+    out = replicated_transcripts(spark, 1_500, 3, base_dir=str(tmp_path))
+    base = spark.read.parquet(base_path)
+    rep = spark.read.parquet(out)
+    assert rep.count() == 3 * base.count()
+    assert rep.select("conv_id").distinct().count() == \
+        3 * base.select("conv_id").distinct().count()
+    prefixes = {
+        r.p for r in rep.select(
+            F.regexp_extract("conv_id", "^(r[0-9]+)-", 1).alias("p")
+        ).distinct().collect()
+    }
+    assert prefixes == {"r0", "r1", "r2"}
+    # per-copy content identical to the base (conv_id aside)
+    base_hash = base.select(F.md5(F.concat_ws("\x1f", "conv_id", "turn_idx", "text"))
+                            .alias("h"))
+    r1_hash = rep.filter(F.col("conv_id").startswith("r1-")).select(
+        F.md5(F.concat_ws("\x1f", F.expr("substring(conv_id, 4)"), "turn_idx", "text"))
+        .alias("h"))
+    assert base_hash.subtract(r1_hash).count() == 0
+    assert r1_hash.subtract(base_hash).count() == 0
