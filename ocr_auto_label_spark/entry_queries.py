@@ -594,6 +594,29 @@ def _flagship_twin_duck() -> str:
     return flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
 
 
+def _full_pipeline_e1_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL composed E1 plan (plans/full_pipeline.py — Arrow
+    extraction, applyInPandas fold, window naming) over the pinned 2k
+    corpus, hash-compared against functions/e1_sql.py's DuckDB
+    reformulation by the driver."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+    from ocr_auto_label_spark.plans.full_pipeline import run_full_pipeline
+
+    df = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
+    return run_full_pipeline(df)
+
+
+def _full_pipeline_e1_duck() -> str:
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.e1_sql import full_pipeline_e1_duck_sql
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+
+    path = transcripts_parquet(2_000)
+    rp = f"read_parquet('{path}/*.parquet')"
+    return full_pipeline_e1_duck_sql(flagship_twin_sql("duck", rp), rp)
+
+
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.range_join import time_range_self_join
 
@@ -1375,12 +1398,13 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "extract_flagship": (_extract_flagship, None),
     "extract_best_labels": (_extract_best_labels, None),
     "extract_lineage_stats": (_extract_lineage_stats, None),
-    "full_pipeline_e1": (
-        lambda spark, sf_dir: __import__(
-            "ocr_auto_label_spark.plans.full_pipeline", fromlist=["run_full_pipeline"]
-        ).run_full_pipeline(_synthetic_transcripts(spark, sf_dir)),
-        None,
-    ),
+    # the COMPLETE composed pipeline (Arrow extraction → status decision →
+    # per-conv transitive fold → naming → dup resolution) vs one DuckDB
+    # reformulation (functions/e1_sql.py) — oracle-backed since r4; input
+    # pinned to the 2k corpus like the twin (each stage still runs at sf
+    # scale in its own entry: extract_flagship, auto_group_transitive,
+    # w1_a1_j3_ordinal_naming, a2_duplicate_detection)
+    "full_pipeline_e1": (_full_pipeline_e1_pinned, _full_pipeline_e1_duck),
     # --- the composed extraction semantics under the driver oracle: the
     # SQL twin of the flagship (token scan → confusion repair → fuzzy
     # canonical match → confidence rank + normalizer), pytest-asserted
