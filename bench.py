@@ -31,7 +31,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "extract_flagship",
-    "extract_best_labels",
     "j5_join_suite",
     "j1_time_range_self_join",
     "w1_a1_j3_ordinal_naming",

@@ -532,10 +532,30 @@ def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_best_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-turn winner (rank-1 decision, upload.ts:881-902 analog) —
+    the REAL ``best_labels`` Arrow plan over the pinned corpus, oracle =
+    the SQL twin filtered the same way.  (The same plan at sf scale is
+    ``extract_flagship``, which also carries the bench timing — this
+    entry's job is the decision-step correctness row.)"""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
     from ocr_auto_label_spark.plans.extraction_pipeline import best_labels
 
-    return best_labels(_synthetic_transcripts(spark, sf_dir)).select(
+    df = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
+    return best_labels(df).select(
         "conv_id", "turn_idx", "extracted_text", "label", "confidence"
+    )
+
+
+def _extract_best_labels_duck() -> str:
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+
+    path = transcripts_parquet(2_000)
+    twin = flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
+    return (
+        f"SELECT conv_id, turn_idx, extracted_text, label, confidence "
+        f"FROM ({twin}) t WHERE t.\"rank\" = 1 OR t.\"rank\" IS NULL"
     )
 
 
@@ -1396,7 +1416,7 @@ WHERE cosine >= 0.3
 REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- extraction core (Arrow UDFs: not SQL-expressible) ---
     "extract_flagship": (_extract_flagship, None),
-    "extract_best_labels": (_extract_best_labels, None),
+    "extract_best_labels": (_extract_best_labels, _extract_best_labels_duck),
     "extract_lineage_stats": (_extract_lineage_stats, None),
     # the COMPLETE composed pipeline (Arrow extraction → status decision →
     # per-conv transitive fold → naming → dup resolution) vs one DuckDB
