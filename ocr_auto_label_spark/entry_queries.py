@@ -560,16 +560,69 @@ def _extract_best_labels_duck() -> str:
 
 
 def _extract_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket lineage stats off the REAL operator chain
+    (``with_part_bucket`` = pmod(xxhash64(conv_id), 16), Arrow
+    ``extract_turns``) over the pinned corpus — oracle-backed since r4:
+    XXH64 itself is compiled to DuckDB SQL (functions/xxh64_sql.py), so
+    the bucket assignment AND the has-label extraction both replay in the
+    oracle.  The at-scale lineage/resume machinery stays exercised by
+    ``jobs/run_extraction.py`` + tests/test_lineage.py."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
     from ocr_auto_label_spark.lineage import with_part_bucket
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
     from ocr_auto_label_spark.plans.extraction_pipeline import extract_turns
 
-    df = with_part_bucket(_synthetic_transcripts(spark, sf_dir), 16)
+    pinned = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
+    df = with_part_bucket(pinned, 16)
     out = extract_turns(df)
     return out.groupBy("part_bucket").agg(
         F.count(F.lit(1)).alias("row_count"),
         F.sum((F.size("candidates") > 0).cast("long")).alias("turns_with_label"),
         F.round(F.avg((F.size("candidates") > 0).cast("double")), 6).alias("hit_rate"),
     )
+
+
+def _extract_lineage_stats_duck() -> str:
+    """pmod(xxhash64(conv_id), 16) replayed via the SQL XXH64 (16 divides
+    2^64, so the signed pmod equals the unsigned remainder), has-label
+    via the repair twin-lite."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.confusion_sql import repair_query_sql
+    from ocr_auto_label_spark.functions.flagship_sql import token_matches_sql
+    from ocr_auto_label_spark.functions.xxh64_sql import xxh64_str_staged_sql
+
+    path = transcripts_parquet(2_000)
+    scan = token_matches_sql("duck", ["conv_id", "turn_idx"], "scan_src")
+    repair = repair_query_sql(
+        "duck", "FROM matches", carry_cols=["conv_id", "turn_idx"],
+        code_col="token",
+    )
+    convh = xxh64_str_staged_sql("FROM convs", "conv_id")
+    return f"""
+WITH src AS (SELECT conv_id, turn_idx, text, tool
+             FROM read_parquet('{path}/*.parquet')),
+scan_src AS (
+  SELECT conv_id, turn_idx, text AS s FROM src
+  UNION ALL
+  SELECT conv_id, turn_idx, tool AS s FROM src WHERE tool IS NOT NULL),
+matches AS ({scan}),
+repairq AS ({repair}),
+hits AS (SELECT DISTINCT conv_id, turn_idx FROM repairq
+         WHERE repaired IS NOT NULL),
+convs AS (SELECT DISTINCT conv_id FROM src),
+cb AS (SELECT conv_id, CAST(__xxh_u % 16 AS INT) AS part_bucket
+       FROM ({convh}) z),
+turns AS (
+  SELECT s.conv_id, (h.conv_id IS NOT NULL) AS has_label
+  FROM src s LEFT JOIN hits h
+    ON s.conv_id = h.conv_id AND s.turn_idx = h.turn_idx)
+SELECT b.part_bucket, count(*) AS row_count,
+       CAST(sum(CASE WHEN t.has_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS turns_with_label,
+       CAST(round(avg(CASE WHEN t.has_label THEN 1.0 ELSE 0.0 END), 6)
+         AS DOUBLE) AS hit_rate
+FROM turns t JOIN cb b USING (conv_id) GROUP BY b.part_bucket
+"""
 
 
 def _flagship_twin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +783,14 @@ def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"), F.col("fingerprint").cast("string").alias("val"),
     )
     return char.unionByName(word).unionByName(sim).unionByName(fp)
+
+
+def _dedup_minhash_duck() -> str:
+    from ocr_auto_label_spark.functions.minhash_sql import (
+        dedup_minhash_variants_duck_sql,
+    )
+
+    return dedup_minhash_variants_duck_sql()
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1417,7 +1478,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- extraction core (Arrow UDFs: not SQL-expressible) ---
     "extract_flagship": (_extract_flagship, None),
     "extract_best_labels": (_extract_best_labels, _extract_best_labels_duck),
-    "extract_lineage_stats": (_extract_lineage_stats, None),
+    "extract_lineage_stats": (_extract_lineage_stats, _extract_lineage_stats_duck),
     # the COMPLETE composed pipeline (Arrow extraction → status decision →
     # per-conv transitive fold → naming → dup resolution) vs one DuckDB
     # reformulation (functions/e1_sql.py) — oracle-backed since r4; input
@@ -1778,8 +1839,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     ),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
     # xxhash64 sketch family (MinHash/LSH pairs + SimHash + fingerprint
-    # signatures): xxhash64 has no DuckDB analog → rows-only
-    "dedup_minhash_variants": (_dedup_minhash_variants, None),
+    # signatures): oracle-backed since r4 — XXH64 itself is compiled to
+    # DuckDB SQL (functions/xxh64_sql.py + minhash_sql.py), removing the
+    # "no DuckDB analog" gap
+    "dedup_minhash_variants": (_dedup_minhash_variants, _dedup_minhash_duck),
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
     "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
