@@ -171,7 +171,12 @@ def scaling_block(n_turns: int) -> dict:
     path = transcripts_parquet(n_turns)
     pair_env = os.environ.get("SPARK_GRAFT_SCALE_PAIR")
     if pair_env:
-        lo, hi = (int(x) for x in pair_env.split(","))
+        parts = pair_env.split(",")
+        if len(parts) != 2:
+            sys.exit(f"error: SPARK_GRAFT_SCALE_PAIR must be 'lo,hi', got {pair_env!r}")
+        lo, hi = int(parts[0]), int(parts[1])
+        if not 0 < lo < hi:
+            sys.exit(f"error: SPARK_GRAFT_SCALE_PAIR needs 0 < lo < hi, got {pair_env!r}")
         cmp_pairs = [(lo, hi)]
         schedule = [lo, hi, lo, hi, lo, hi]
     else:

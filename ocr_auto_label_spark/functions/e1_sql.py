@@ -21,7 +21,7 @@ duplicate resolution) against one DuckDB query:
 - The expensive prefix CTEs are ``MATERIALIZED``: DuckDB inlines
   single-reference CTEs, and the downstream stages reference ``st``
   /``edges`` several times — without materialization every reference
-  re-executes the whole twin (measured 166 s → ~15 s with it).
+  re-executes the whole twin (measured 166 s → ~11 s with it).
 - Stage-3/4 naming is intentionally absent: ``run_full_pipeline`` drops
   the pre-grouping names and recomputes them over the merged state, so
   only the FINAL naming + duplicate sweep reach the output.

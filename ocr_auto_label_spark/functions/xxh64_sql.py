@@ -16,8 +16,10 @@ DuckDB v1.0 constraints shape the encoding:
   multiplication splits the left operand into 32-bit limbs so no product
   exceeds 2^96;
 - no BLOB indexing → bytes come from ``unicode(s[i])`` per character,
-  which equals the UTF-8 byte only for ASCII — callers must guarantee an
-  ASCII corpus (the synthetic corpora are; asserted where used);
+  which equals the UTF-8 byte only for ASCII — the staged query GUARDS
+  this (length vs octet_length mismatch raises via ``error()`` instead
+  of silently hashing code points), and the corpora are pytest-asserted
+  ASCII;
 - no list_reduce initial-value → the accumulator is ``list_prepend``-ed
   so the fold's first element IS the init (32-byte stripes fold over
   ``[v1..v4]`` lane lists, tails fold over scalar words);
@@ -147,7 +149,7 @@ def xxh64_stages(b: str, n: str, seed: str) -> list[tuple[str, str]]:
     )
     tail1 = (
         f"list_reduce(list_prepend(__acc4, "
-        f"list_transform(range({p4} + (CASE WHEN ({n}) % 4 >= 0 AND ({n}) - ({p4}) >= 4 THEN 4 ELSE 0 END) + 1, ({n}) + 1), "
+        f"list_transform(range({p4} + (CASE WHEN ({n}) - ({p4}) >= 4 THEN 4 ELSE 0 END) + 1, ({n}) + 1), "
         f"i -> ({b})[i])), "
         f"(a, byt) -> {_mmul(_rotl(_xor('a', _mmul('byt', P5)), 11), P1)})"
     )
@@ -209,7 +211,12 @@ def to_signed(h: str) -> str:
 def xxh64_str_staged_sql(src_sql: str, s_col: str, seed: str = "42") -> str:
     """Subquery computing ``__xxh_u`` (unsigned XXH64 of ``s_col``'s
     UTF-8/ASCII bytes) alongside all columns of ``src_sql``."""
-    inner = f"SELECT *, {bytes_expr(s_col)} AS __b, length({s_col}) AS __n {src_sql}"
+    n_guard = (
+        f"CASE WHEN length({s_col}) <> octet_length(encode({s_col})) "
+        f"THEN error('xxh64_sql: non-ASCII input — unicode(s[i]) bytes "
+        f"are only valid for ASCII') ELSE length({s_col}) END"
+    )
+    inner = f"SELECT *, {bytes_expr(s_col)} AS __b, {n_guard} AS __n {src_sql}"
     q = f"({inner})"
     for name, expr in xxh64_stages("__b", "__n", seed):
         q = f"(SELECT *, {expr} AS {name} FROM {q})"

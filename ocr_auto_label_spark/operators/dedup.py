@@ -328,6 +328,8 @@ def connected_components(
     exponentially-nesting join lineage; on a fault-tolerant cluster run,
     substitute a durable ``checkpoint()`` (same plan shape).
     """
+    if max_iterations < 1:
+        raise ValueError("connected_components: max_iterations must be >= 1")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -372,7 +374,6 @@ def connected_components(
     else:
         # exhausting the budget without a fixed point would silently split
         # a true duplicate cluster downstream (ADVICE r3) — surface it
-        # (changed == 0 here means the loop never ran: max_iterations <= 0)
         if changed:
             import warnings
 

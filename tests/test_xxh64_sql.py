@@ -120,3 +120,39 @@ def test_duck_xxh64_matches_spark(spark):
     ).fetchall()
     for s, h, h1 in rows:
         assert (h, h1) == want[s], f"spark parity diverges on {s!r}"
+
+
+def test_non_ascii_input_raises_loudly():
+    """The unicode(s[i]) byte access is ASCII-only; the staged query must
+    REFUSE non-ASCII input (error()) rather than silently hash code
+    points (review r4)."""
+    import pytest
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'café' AS s")
+    q = xxh64_str_staged_sql("FROM t", "s")
+    with pytest.raises(Exception, match="non-ASCII"):
+        con.sql(f"SELECT __xxh_u FROM ({q}) z").fetchall()
+
+
+def test_hashed_corpora_are_ascii():
+    """Every corpus column the xxh64 oracles hash must be ASCII — the
+    pinned transcripts (conv_id) and both sf documents tables (text)."""
+    import os
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+
+    con = duckdb.connect()
+    p = transcripts_parquet(2_000)
+    assert con.sql(
+        f"SELECT count(*) FROM read_parquet('{p}/*.parquet') "
+        "WHERE length(conv_id) <> octet_length(encode(conv_id))"
+    ).fetchone()[0] == 0
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(d):
+            continue
+        assert con.sql(
+            f"SELECT count(*) FROM '{d}' "
+            "WHERE length(text) <> octet_length(encode(text))"
+        ).fetchone()[0] == 0, f"non-ASCII text in {sf}"
