@@ -126,6 +126,7 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences (≲1 ulp) can't flip a compared digit (the
     round(double, 6) HALF_UP-vs-binary trap, see module docstring)."""
     from ocr_auto_label_spark.operators.textstats import (
+        exact_group_quantiles,
         repetition_stats,
         unigram_nll,
     )
@@ -163,7 +164,23 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bigram_cnt").alias("cnt"),
         F.col("top_bigram_frac").alias("val"),
     )
-    return long_stats.unionByName(nll).unionByName(dup).unionByName(top)
+    # exact per-lang token-count quantiles (nearest-rank; relational
+    # distinct-value-compressed path — the 100-TB exact-quantile shape),
+    # oracled by DuckDB's independent quantile_disc implementation
+    qs = exact_group_quantiles(
+        docs.select("lang", F.expr(f"size({_spark_tokens('text')})").alias("tc")),
+        "tc", "lang",
+    ).select(
+        F.concat(F.lit("p"), F.col("percentile").cast("string"),
+                 F.lit("_tokens")).alias("variant"),
+        F.col("lang").alias("k"),
+        F.col("n").cast("bigint").alias("cnt"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        long_stats.unionByName(nll).unionByName(dup).unionByName(top)
+        .unionByName(qs)
+    )
 
 
 def _text_quality_stats_duck() -> str:
@@ -171,6 +188,7 @@ def _text_quality_stats_duck() -> str:
         f"SELECT '{m}' AS variant, lang AS k, cnt, {m} AS val FROM w"
         for m in _TEXTSTATS_METRICS
     )
+    _duck_tokens_len = f"len({_duck_tokens('text')})"
     return f"""
 WITH w AS ({_textstats_sql('duck')}),
 toks AS (
@@ -193,7 +211,12 @@ rgrams AS (
 rper AS (SELECT doc_id, gram, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
 rdoc AS (SELECT doc_id, max(cnt) AS top_cnt,
                 CAST(sum(cnt) AS BIGINT) AS bigram_cnt
-         FROM rper GROUP BY 1)
+         FROM rper GROUP BY 1),
+qt AS (SELECT lang, count(*) AS n,
+              quantile_disc({_duck_tokens_len}, 0.50) AS p50,
+              quantile_disc({_duck_tokens_len}, 0.90) AS p90,
+              quantile_disc({_duck_tokens_len}, 0.99) AS p99
+       FROM documents GROUP BY lang)
 {unions}
 UNION ALL
 SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
@@ -207,6 +230,12 @@ SELECT 'top_bigram_frac' AS variant, CAST(b.doc_id AS VARCHAR) AS k,
        CAST(coalesce(d.bigram_cnt, 0) AS BIGINT) AS cnt,
        coalesce(d.top_cnt / d.bigram_cnt, 0.0) AS val
 FROM rbase b LEFT JOIN rdoc d USING (doc_id)
+UNION ALL
+SELECT 'p50_tokens' AS variant, lang AS k, n AS cnt, CAST(p50 AS DOUBLE) AS val FROM qt
+UNION ALL
+SELECT 'p90_tokens' AS variant, lang AS k, n AS cnt, CAST(p90 AS DOUBLE) AS val FROM qt
+UNION ALL
+SELECT 'p99_tokens' AS variant, lang AS k, n AS cnt, CAST(p99 AS DOUBLE) AS val FROM qt
 """
 
 
@@ -727,6 +756,92 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("val"),
     )
     return pair_rows.unionByName(comp_rows)
+
+
+_SPLIT_WEIGHTS = (80, 10, 10)
+_SPLIT_NAMES = ("train", "val", "test")
+
+
+def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup PLUS the deterministic hash-based
+    train/val/test split (operators/sampling.py) — the two corpus-curation
+    assignments a training pipeline derives from the same scan, normalized
+    to (variant, k, v1, v2):
+
+    - ``exact_group``: k = md5(text), v1 = keep_id (min doc_id),
+      v2 = dup_count — one hash shuffle with map-side combine;
+    - ``split_assign``: k = doc_id, v1 = hash bucket (pmod(xxhash64(id),
+      100)), v2 = split index — narrow projection, no shuffle;
+    - ``split_summary``: k = split name, v1 = n_docs, v2 = split index.
+
+    The oracle replicates Spark's xxhash64(BIGINT) bit-exactly in DuckDB
+    SQL (functions/xxh64_sql.xxh64_long8_stages — XXH64 of the 8-byte LE
+    word, seed 42), so per-doc assignments are value-hash-compared."""
+    from ocr_auto_label_spark.operators.sampling import deterministic_split
+
+    load_views(spark, sf_dir)
+    exact = spark.sql(
+        "SELECT 'exact_group' AS variant, md5(text) AS k, "
+        "min(doc_id) AS v1, count(*) AS v2 FROM documents GROUP BY md5(text)"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = deterministic_split(
+        docs, "doc_id", _SPLIT_WEIGHTS, _SPLIT_NAMES
+    )
+    idx = F.coalesce(
+        *[F.when(F.col("split") == n, F.lit(i))
+          for i, n in enumerate(_SPLIT_NAMES)]
+    )
+    assign = assigned.select(
+        F.lit("split_assign").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("bucket").cast("long").alias("v1"),
+        idx.cast("long").alias("v2"),
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("split_summary").alias("variant"),
+        F.col("split").alias("k"),
+        F.col("n").cast("long").alias("v1"),
+        idx.cast("long").alias("v2"),
+    )
+    return exact.unionByName(assign).unionByName(summary)
+
+
+def _dedup_exact_and_split_duck() -> str:
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        apply_stages,
+        to_signed,
+        xxh64_long8_stages,
+    )
+
+    hashed = apply_stages(
+        "SELECT doc_id FROM documents", xxh64_long8_stages("doc_id", "42")
+    )
+    lo, hi = _SPLIT_WEIGHTS[0], _SPLIT_WEIGHTS[0] + _SPLIT_WEIGHTS[1]
+    name_case = (
+        f"CASE idx WHEN 0 THEN '{_SPLIT_NAMES[0]}' "
+        f"WHEN 1 THEN '{_SPLIT_NAMES[1]}' ELSE '{_SPLIT_NAMES[2]}' END"
+    )
+    return f"""
+WITH hashed AS ({hashed}),
+b AS (SELECT doc_id,
+             CAST((({to_signed('__l8_u')} % 100) + 100) % 100 AS BIGINT) AS bucket
+      FROM hashed),
+s AS (SELECT doc_id, bucket,
+             CASE WHEN bucket < {lo} THEN 0 WHEN bucket < {hi} THEN 1 ELSE 2 END AS idx
+      FROM b)
+SELECT 'exact_group' AS variant, md5(text) AS k,
+       min(doc_id) AS v1, count(*) AS v2
+FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'split_assign', CAST(doc_id AS VARCHAR),
+       bucket, CAST(idx AS BIGINT) FROM s
+UNION ALL
+SELECT 'split_summary', {name_case},
+       count(*), CAST(idx AS BIGINT) FROM s GROUP BY idx
+"""
 
 
 def _dedup_minhash_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,12 +1946,11 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
         "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey LIMIT 30) q2",
     ),
-    # --- training-data ops: dedup ---
-    "dedup_exact_hash": (
-        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
-        "FROM documents GROUP BY md5(text)",
-        "same",
-    ),
+    # --- training-data ops: dedup + deterministic split ---
+    # exact content-hash dedup UNION the hash-based train/val/test split
+    # (operators/sampling.py); the split oracle replicates Spark's
+    # xxhash64(BIGINT) in DuckDB SQL (xxh64_long8_stages)
+    "dedup_exact_hash": (_dedup_exact_and_split, _dedup_exact_and_split_duck()),
     "dedup_ngram_jaccard": (_dedup_jaccard, _DUCK_JACCARD),
     # xxhash64 sketch family (MinHash/LSH pairs + SimHash + fingerprint
     # signatures): oracle-backed since r4 — XXH64 itself is compiled to

@@ -183,6 +183,32 @@ def xxh64_int4_stages(i: str, seed: str, prefix: str = "__i4") -> list[tuple[str
     ]
 
 
+def xxh64_long8_stages(l: str, seed: str, prefix: str = "__l8") -> list[tuple[str, str]]:
+    """Staged-column XXH64 of an 8-byte little-endian BIGINT — Spark's
+    LongType hashing path (``XXH64.hashLong``: acc = seed + P5 + 8;
+    acc ^= rotl(l·P2, 31)·P1; acc = rotl(acc, 27)·P1 + P4; avalanche).
+    ``l`` and ``seed`` must be column references; negative longs wrap to
+    their two's-complement unsigned 64-bit word.  Completes the family:
+    strings hash as UTF-8 bytes (``xxh64_stages``), ints as 4-byte LE
+    (``xxh64_int4_stages``), longs as 8-byte LE (this)."""
+    p = prefix
+    w = (
+        f"(CASE WHEN CAST({l} AS HUGEINT) < 0 "
+        f"THEN CAST({l} AS HUGEINT) + {W} ELSE CAST({l} AS HUGEINT) END)"
+    )
+    return [
+        (f"{p}_w", w),
+        (f"{p}_s0", _madd(seed, P5, "8")),
+        (f"{p}_s1", _xor(f"{p}_s0", _round("0", f"{p}_w"))),
+        (f"{p}_s2", _madd(_mmul(_rotl(f"{p}_s1", 27), P1), P4)),
+        (f"{p}_a0", _xor(f"{p}_s2", _shr(f"{p}_s2", 33))),
+        (f"{p}_a1", _mmul(f"{p}_a0", P2)),
+        (f"{p}_a2", _xor(f"{p}_a1", _shr(f"{p}_a1", 29))),
+        (f"{p}_a3", _mmul(f"{p}_a2", P3)),
+        (f"{p}_u", _xor(f"{p}_a3", _shr(f"{p}_a3", 32))),
+    ]
+
+
 def apply_stages(src_sql: str, stages: list[tuple[str, str]]) -> str:
     """Wrap ``src_sql`` (a full SELECT) in one nested SELECT per stage."""
     q = f"({src_sql})"

@@ -8,7 +8,7 @@ and closed-form so a DuckDB oracle can replicate them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # BPE-ish word tokenizer: word chars / numbers / single punctuation marks
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -165,6 +165,50 @@ def repetition_stats(
             F.coalesce(F.col("top_cnt") / F.col("bigram_cnt"), F.lit(0.0))
             .alias("top_bigram_frac"),
         )
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-group quantiles (nearest-rank, ⌈p·n/100⌉) the way you
+    compute them at 100 TB: compress the corpus to distinct
+    (group, value) counts first — one map-side-combined shuffle whose
+    cardinality is distinct values per group, NOT rows — then a
+    cumulative-count window over each group's (small) value ladder picks
+    the ranked element.  ``approx_percentile`` is the sketch alternative;
+    this is the exact path for integer metrics (length/token
+    distributions have thousands of distinct values regardless of corpus
+    size, so the post-compression state is trivially small).
+
+    Rank arithmetic is pure integers (``(n·p + 99) div 100`` =
+    ⌈n·p/100⌉), so a DuckDB ``quantile_disc`` oracle (an independent
+    implementation of the same nearest-rank definition) hash-matches
+    with no float-boundary games.
+
+    Output: one row per (group, percentile): (group, percentile, n, val).
+    """
+    if not percentiles or any(not 1 <= p <= 100 for p in percentiles):
+        raise ValueError("exact_group_quantiles: percentiles must be in [1, 100]")
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = counts.select(
+        group_col,
+        value_col,
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    fanned = cum.withColumn(
+        "percentile", F.explode(F.array(*[F.lit(p) for p in percentiles]))
+    )
+    hit = fanned.filter(
+        F.col("cum") >= F.expr("(n * percentile + 99) div 100")
+    )
+    return hit.groupBy(group_col, "percentile").agg(
+        F.max("n").alias("n"), F.min(value_col).alias("val")
     )
 
 

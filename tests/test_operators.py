@@ -421,3 +421,47 @@ def test_replicated_transcripts_remaps_and_scales(spark, tmp_path):
         .alias("h"))
     assert base_hash.subtract(r1_hash).count() == 0
     assert r1_hash.subtract(base_hash).count() == 0
+
+
+def test_exact_group_quantiles_vs_python(spark):
+    """Nearest-rank ⌈p·n/100⌉ per group, exact — vs a sorted-list Python
+    oracle, on groups crossing the rank boundaries (n=1, ties, skew)."""
+    import math
+    import random
+
+    from ocr_auto_label_spark.operators.textstats import exact_group_quantiles
+
+    rng = random.Random(3)
+    data = [("g1", 1)]                                   # degenerate n=1
+    data += [("g2", v) for v in [5, 5, 5, 5, 7]]          # heavy ties
+    data += [("g3", rng.randint(0, 50)) for _ in range(137)]
+    data += [("g4", rng.randint(0, 5)) for _ in range(100)]  # n multiple of 100
+    df = spark.createDataFrame(data, "g: string, v: int")
+    got = {
+        (r.g, r.percentile): (r.n, r.val)
+        for r in exact_group_quantiles(df, "v", "g", (1, 25, 50, 90, 99, 100)).collect()
+    }
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for g, v in data:
+        groups[g].append(v)
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for p in (1, 25, 50, 90, 99, 100):
+            want = vals[max(math.ceil(n * p / 100), 1) - 1]
+            assert got[(g, p)] == (n, want), (g, p)
+
+
+def test_exact_group_quantiles_validates_percentiles(spark):
+    import pytest as _pytest
+
+    from ocr_auto_label_spark.operators.textstats import exact_group_quantiles
+
+    df = spark.createDataFrame([("g", 1)], "g: string, v: int")
+    with _pytest.raises(ValueError):
+        exact_group_quantiles(df, "v", "g", ())
+    with _pytest.raises(ValueError):
+        exact_group_quantiles(df, "v", "g", (0,))
+    with _pytest.raises(ValueError):
+        exact_group_quantiles(df, "v", "g", (101,))

@@ -1,0 +1,105 @@
+"""Deterministic split / hash-sample operator (operators/sampling.py).
+
+The properties that make hash-based splits THE production recipe:
+partition-layout invariance (the assignment is a pure function of the
+id), exact bucket arithmetic (pmod of the signed hash), weight coverage,
+and sample ⊆ corpus with the same rows on every run.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_auto_label_spark.operators.sampling import (
+    deterministic_split,
+    hash_bucket,
+    hash_sample,
+)
+from test_xxh64_sql import xxh64_ref
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_split_matches_python_reference(spark):
+    rows = deterministic_split(_docs(spark)).select(
+        "doc_id", "bucket", "split"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        u = xxh64_ref(struct.pack("<q", r.doc_id), 42)
+        s = u - 2**64 if u >= 2**63 else u
+        b = ((s % 100) + 100) % 100
+        assert r.bucket == b
+        assert r.split == ("train" if b < 80 else "val" if b < 90 else "test")
+
+
+def test_split_is_partition_layout_invariant(spark):
+    """Same assignment no matter how the corpus is partitioned or ordered
+    — the property that lets every engine replica compute the split
+    independently with no stored assignment table."""
+    docs = _docs(spark)
+    base = {r.doc_id: (r.bucket, r.split)
+            for r in deterministic_split(docs).select("doc_id", "bucket", "split").collect()}
+    shuffled = docs.repartition(17).sortWithinPartitions(F.desc("doc_id"))
+    again = {r.doc_id: (r.bucket, r.split)
+             for r in deterministic_split(shuffled).select("doc_id", "bucket", "split").collect()}
+    assert base == again
+
+
+def test_split_covers_all_rows_and_weights(spark):
+    docs = _docs(spark)
+    counts = dict(
+        deterministic_split(docs).groupBy("split").count().collect()
+    )
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    # 80/10/10 must dominate: train strictly largest on any non-tiny corpus
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_split_validates_weights(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="sum"):
+        deterministic_split(docs, weights=(50, 10, 10))
+    with pytest.raises(ValueError, match="len"):
+        deterministic_split(docs, weights=(90, 10), names=("a", "b", "c"))
+
+
+def test_hash_sample_is_a_stable_subset(spark):
+    docs = _docs(spark)
+    s1 = sorted(r.doc_id for r in hash_sample(docs, numerator=10).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in hash_sample(docs, numerator=10).select("doc_id").collect())
+    assert s1 == s2
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(s1) <= all_ids
+    # sample == the bucket<10 slice of the split (same hash family)
+    want = sorted(
+        r.doc_id for r in deterministic_split(docs).filter(F.col("bucket") < 10)
+        .select("doc_id").collect()
+    )
+    assert s1 == want
+    with pytest.raises(ValueError, match="numerator"):
+        hash_sample(docs, numerator=101)
+
+
+def test_split_plan_is_narrow(spark):
+    """The assignment must add zero Exchanges — a pure projection over
+    the scan (at 100 TB the split rides the scan for free)."""
+    plan = deterministic_split(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # JVM-side, no Python in the path
+
+
+def test_hash_bucket_range(spark):
+    rows = _docs(spark).select(
+        hash_bucket(F.col("doc_id"), 7).alias("b")
+    ).distinct().collect()
+    assert all(0 <= r.b < 7 for r in rows)

@@ -11,8 +11,10 @@ import random
 import duckdb
 
 from ocr_auto_label_spark.functions.xxh64_sql import (
+    apply_stages,
     to_signed,
     xxh64_int4_u,
+    xxh64_long8_stages,
     xxh64_str_staged_sql,
 )
 
@@ -120,6 +122,42 @@ def test_duck_xxh64_matches_spark(spark):
     ).fetchall()
     for s, h, h1 in rows:
         assert (h, h1) == want[s], f"spark parity diverges on {s!r}"
+
+
+def _fixture_longs():
+    rng = random.Random(13)
+    fixed = [0, 1, -1, 42, 499, 2**31, -2**31, 2**63 - 1, -2**63]
+    return fixed + [rng.randint(-2**63, 2**63 - 1) for _ in range(60)]
+
+
+def test_duck_xxh64_long8_matches_python_reference():
+    """LongType path (Spark XXH64.hashLong — 8-byte LE word): the staged
+    DuckDB SQL must match the from-spec Python reference, including
+    negative longs (two's-complement word)."""
+    import struct
+
+    longs = _fixture_longs()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS l", [longs])
+    q = apply_stages("SELECT l FROM t", xxh64_long8_stages("l", "42"))
+    rows = con.sql(f"SELECT l, {to_signed('__l8_u')} AS h FROM ({q}) z").fetchall()
+    assert len(rows) == len(longs)
+    for l, h in rows:
+        want = _signed(xxh64_ref(struct.pack("<q", l), 42))
+        assert h == want, f"long8 path diverges on {l}"
+
+
+def test_duck_xxh64_long8_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    longs = _fixture_longs()
+    sdf = spark.createDataFrame([(l,) for l in longs], "l: long")
+    want = {r.l: r.h for r in sdf.select("l", F.xxhash64("l").alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS l", [longs])
+    q = apply_stages("SELECT l FROM t", xxh64_long8_stages("l", "42"))
+    for l, h in con.sql(f"SELECT l, {to_signed('__l8_u')} AS h FROM ({q}) z").fetchall():
+        assert h == want[l], f"spark long parity diverges on {l}"
 
 
 def test_non_ascii_input_raises_loudly():
