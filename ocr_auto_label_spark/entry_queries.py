@@ -772,12 +772,21 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       v2 = dup_count — one hash shuffle with map-side combine;
     - ``split_assign``: k = doc_id, v1 = hash bucket (pmod(xxhash64(id),
       100)), v2 = split index — narrow projection, no shuffle;
-    - ``split_summary``: k = split name, v1 = n_docs, v2 = split index.
+    - ``split_summary``: k = split name, v1 = n_docs, v2 = split index;
+    - ``decontam``: k = non-train doc_id, v1 = distinct 13-grams shared
+      with ANY train doc (GPT-3 §C benchmark decontamination),
+      v2 = the doc's distinct 13-gram count.
 
     The oracle replicates Spark's xxhash64(BIGINT) bit-exactly in DuckDB
     SQL (functions/xxh64_sql.xxh64_long8_stages — XXH64 of the 8-byte LE
-    word, seed 42), so per-doc assignments are value-hash-compared."""
-    from ocr_auto_label_spark.operators.sampling import deterministic_split
+    word, seed 42), so per-doc assignments are value-hash-compared; the
+    decontamination counts are exact integers computed by an independent
+    DuckDB n-gram pipeline over the same split."""
+    from ocr_auto_label_spark.operators.sampling import (
+        cross_split_contamination,
+        deterministic_split,
+    )
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
 
     load_views(spark, sf_dir)
     exact = spark.sql(
@@ -806,7 +815,18 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("v1"),
         idx.cast("long").alias("v2"),
     )
-    return exact.unionByName(assign).unionByName(summary)
+    # 13-gram decontamination of the eval splits vs train (the gram
+    # explode is interpreted higher-order work — spread the single-file
+    # local scan; no-op on a multi-file production table)
+    decon = cross_split_contamination(
+        ensure_parallelism(assigned), "doc_id", "text", "split"
+    ).select(
+        F.lit("decontam").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_contam").alias("v1"),
+        F.col("n_grams").alias("v2"),
+    )
+    return exact.unionByName(assign).unionByName(summary).unionByName(decon)
 
 
 def _dedup_exact_and_split_duck() -> str:
@@ -829,9 +849,22 @@ WITH hashed AS ({hashed}),
 b AS (SELECT doc_id,
              CAST((({to_signed('__l8_u')} % 100) + 100) % 100 AS BIGINT) AS bucket
       FROM hashed),
-s AS (SELECT doc_id, bucket,
+s AS MATERIALIZED (SELECT doc_id, bucket,
              CASE WHEN bucket < {lo} THEN 0 WHEN bucket < {hi} THEN 1 ELSE 2 END AS idx
-      FROM b)
+      FROM b),
+tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+gr AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 13 + 2),
+                          i -> array_to_string(list_slice(t, i, i + 12), ' ')))) AS gram
+  FROM tok),
+tr AS (SELECT DISTINCT gram FROM gr JOIN s USING (doc_id) WHERE s.idx = 0),
+ev AS MATERIALIZED (
+  SELECT gr.doc_id, gram FROM gr JOIN s USING (doc_id) WHERE s.idx > 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+hit AS (SELECT ev.doc_id, count(*) AS n_contam
+        FROM ev JOIN tr USING (gram) GROUP BY 1)
 SELECT 'exact_group' AS variant, md5(text) AS k,
        min(doc_id) AS v1, count(*) AS v2
 FROM documents GROUP BY md5(text)
@@ -841,6 +874,12 @@ SELECT 'split_assign', CAST(doc_id AS VARCHAR),
 UNION ALL
 SELECT 'split_summary', {name_case},
        count(*), CAST(idx AS BIGINT) FROM s GROUP BY idx
+UNION ALL
+SELECT 'decontam', CAST(s.doc_id AS VARCHAR),
+       coalesce(hit.n_contam, 0), coalesce(tot.n_grams, 0)
+FROM s LEFT JOIN tot ON s.doc_id = tot.doc_id
+       LEFT JOIN hit ON s.doc_id = hit.doc_id
+WHERE s.idx > 0
 """
 
 

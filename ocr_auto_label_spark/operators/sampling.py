@@ -64,6 +64,72 @@ def deterministic_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct lowercase word-``n``-gram array from a text column
+    (whitespace tokens, space-joined grams).  Guarded so texts shorter
+    than ``n`` tokens yield an empty array — and the guard matters:
+    Spark's ``sequence(1, 0)`` DESCENDS instead of being empty."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    n: int = 13,
+    train_name: str = "train",
+) -> DataFrame:
+    """Benchmark decontamination: for every NON-train document, count how
+    many of its distinct word-``n``-grams also appear in ANY train
+    document (the GPT-3 §C recipe — 13-gram overlap against the training
+    corpus flags eval contamination).  Returns one row per non-train doc:
+    ``(id, n_grams, n_contam)`` — exact integers, so the DuckDB oracle
+    compares per-doc values with no float games.
+
+    Scale shape: grams are deduplicated PER DOC before the explode (the
+    shuffle carries each doc's distinct grams once, not every
+    occurrence); the train side collapses to a distinct-gram set (one
+    map-side-combined shuffle); the probe is a plain equi-join on the
+    gram — AQE handles skewed grams (boilerplate phrases).  At PB scale
+    you'd fingerprint grams to 8-byte ``xxhash64`` first to cut shuffle
+    width ~10×; the join shape is identical, so this string-keyed form
+    is the oracle-checkable twin of that plan."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(split_col).alias("sp"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    train_grams = grams.filter(F.col("sp") == train_name).select("gram").distinct()
+    eval_grams = grams.filter(F.col("sp") != train_name)
+    totals = eval_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        eval_grams.join(train_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    all_eval = df.filter(F.col(split_col) != train_name).select(
+        F.col(id_col).alias("id")
+    )
+    return (
+        all_eval.join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+        )
+    )
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -98,6 +98,55 @@ def test_split_plan_is_narrow(spark):
     assert "BatchEvalPython" not in plan  # JVM-side, no Python in the path
 
 
+def test_cross_split_contamination_vs_python(spark):
+    """13-gram eval-vs-train overlap counts must equal a from-scratch
+    Python set-intersection reference on the real corpus + real split."""
+    import re
+
+    from ocr_auto_label_spark.operators.sampling import cross_split_contamination
+
+    docs = deterministic_split(_docs(spark))
+    got = {
+        r.id: (r.n_grams, r.n_contam)
+        for r in cross_split_contamination(docs, "doc_id", "text", "split").collect()
+    }
+    rows = docs.select("doc_id", "text", "split").collect()
+    train_grams, eval_docs = set(), {}
+    for r in rows:
+        toks = re.split(r"\s+", r.text.strip().lower())
+        grams = {" ".join(toks[i:i + 13]) for i in range(len(toks) - 12)}
+        if r.split == "train":
+            train_grams |= grams
+        else:
+            eval_docs[r.doc_id] = grams
+    assert set(got) == set(eval_docs)
+    for did, grams in eval_docs.items():
+        assert got[did] == (len(grams), len(grams & train_grams)), did
+    # the fixture must actually exercise the op: some contamination exists
+    assert any(c for _, c in got.values())
+
+
+def test_cross_split_contamination_short_docs(spark):
+    """Docs with < n tokens yield zero grams (the sequence(1,0)-descends
+    guard) and still appear in the output with (0, 0)."""
+    from ocr_auto_label_spark.operators.sampling import cross_split_contamination
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e", "train"),
+            (2, "a b c d e", "test"),   # full overlap at n=3
+            (3, "x y", "test"),         # too short for any 3-gram
+            (4, "p q r s", "val"),      # grams but no overlap
+        ],
+        "doc_id: long, text: string, split: string",
+    )
+    got = {
+        r.id: (r.n_grams, r.n_contam)
+        for r in cross_split_contamination(df, "doc_id", "text", "split", n=3).collect()
+    }
+    assert got == {2: (3, 3), 3: (0, 0), 4: (2, 0)}
+
+
 def test_hash_bucket_range(spark):
     rows = _docs(spark).select(
         hash_bucket(F.col("doc_id"), 7).alias("b")
