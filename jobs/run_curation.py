@@ -1,0 +1,59 @@
+"""spark-submit entry point for the corpus-curation pipeline.
+
+Usage (cluster):
+    spark-submit --py-files ocr_auto_label_spark.zip jobs/run_curation.py \
+        --input <documents parquet/Iceberg path> --output out/ \
+        [--min-quality 0.5] [--min-tokens 1] [--max-dup-word-frac 1.0] \
+        [--ngram-n 13]
+
+Usage (sandbox):
+    python jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated
+
+Quality gates -> exact dedup -> deterministic train/val/test split ->
+13-gram decontamination report; prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # allow running from repo root without install
+
+from ocr_auto_label_spark.session import build_spark  # noqa: E402
+from ocr_auto_label_spark.plans.curation_pipeline import curate_corpus  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents table path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--min-tokens", type=int, default=1)
+    p.add_argument("--max-dup-word-frac", type=float, default=1.0)
+    p.add_argument("--ngram-n", type=int, default=13)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_spark(app_name="curation", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    summary = curate_corpus(
+        spark,
+        docs,
+        args.output,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_dup_word_frac=args.max_dup_word_frac,
+        ngram_n=args.ngram_n,
+    )
+    summary["elapsed_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

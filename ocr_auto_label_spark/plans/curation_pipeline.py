@@ -1,0 +1,151 @@
+"""End-to-end training-corpus curation: quality gates → exact dedup →
+deterministic split → benchmark decontamination → partitioned output.
+
+Chains the individually oracle-backed operators (textstats gates,
+exact-dup window, ``operators/sampling`` split + decontamination) the way
+a 100-TB curation run would:
+
+- **Stage 1** is one linear pass — gates are narrow column math, dedup is
+  a single hash-window shuffle, the split is a pure projection — written
+  ``partitionBy(split)``.  Stage counts come from ``Observation`` metrics
+  collected during the write itself (zero re-scans; the chain is linear,
+  so each observe node fires exactly once).
+- **Stage 2** reads the *written* table back for decontamination.  The
+  materialize-between-stages boundary is deliberate: the contamination
+  probe needs the corpus twice (train grams / eval grams), and re-reading
+  the compact curated output is cheaper than recomputing the full gate +
+  dedup chain under both branches — at 10¹² rows the upstream would
+  otherwise run twice.  Pruned to (id, split, text): column pruning does
+  the rest.
+- The decontamination *report* is the artifact (train/test overlap is
+  something you audit, not silently delete); the job also emits the
+  contaminated id list so a training reader can anti-join it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.observation import Observation
+
+from ocr_auto_label_spark.operators.sampling import (
+    cross_split_contamination,
+    deterministic_split,
+)
+from ocr_auto_label_spark.operators.textstats import (
+    quality_score,
+    token_count,
+    word_tokens,
+)
+
+
+def quality_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 1,
+    max_dup_word_frac: float = 1.0,
+) -> DataFrame:
+    """Narrow (shuffle-free) per-doc quality gates: heuristic quality
+    score, minimum token count, Gopher duplicate-word-fraction cap.
+    All three are pure column expressions inside whole-stage codegen."""
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    return df.filter(
+        (quality_score(c) >= min_quality)
+        & (token_count(c) >= min_tokens)
+        & (dup_word_frac <= max_dup_word_frac)
+    )
+
+
+def exact_dedup_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per exact text duplicate group — the
+    row-preserving twin of ``operators.dedup.exact_dedup`` (which returns
+    group stats): one window shuffle on the content hash, no join."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 1,
+    max_dup_word_frac: float = 1.0,
+    ngram_n: int = 13,
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> dict:
+    """Run the full curation pipeline; returns the summary dict.
+
+    Writes ``{output_dir}/curated`` (the corpus, partitioned by split)
+    and ``{output_dir}/decontam_report`` (one row per non-train doc:
+    id, n_grams, n_contam).  Deterministic end-to-end: gates and hashes
+    are pure functions of the text/id, so re-running produces the same
+    bytes for the same input.
+    """
+    obs_in = Observation("curate_in")
+    obs_gated = Observation("curate_gated")
+    obs_dedup = Observation("curate_dedup")
+
+    gated = quality_gates(
+        docs.observe(obs_in, F.count(F.lit(1)).alias("rows")),
+        text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        max_dup_word_frac=max_dup_word_frac,
+    ).observe(obs_gated, F.count(F.lit(1)).alias("rows"))
+    deduped = exact_dedup_rows(gated, text_col, id_col)
+    assigned = deterministic_split(
+        deduped, id_col, weights, names
+    ).observe(
+        obs_dedup,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum(F.when(F.col("split") == n, 1).otherwise(0)).alias(n)
+            for n in names
+        ],
+    )
+    curated_path = f"{output_dir}/curated"
+    assigned.write.mode("overwrite").partitionBy("split").parquet(curated_path)
+
+    curated = spark.read.parquet(curated_path).select(id_col, text_col, "split")
+    report = cross_split_contamination(
+        curated, id_col, text_col, "split", n=ngram_n, train_name=names[0]
+    )
+    report_path = f"{output_dir}/decontam_report"
+    report.write.mode("overwrite").parquet(report_path)
+
+    contam = (
+        spark.read.parquet(report_path)
+        .agg(
+            F.count(F.lit(1)).alias("eval_docs"),
+            F.sum(F.when(F.col("n_contam") > 0, 1).otherwise(0)).alias(
+                "contaminated_docs"
+            ),
+            F.sum("n_contam").alias("contaminated_grams"),
+        )
+        .first()
+    )
+    stage1 = obs_dedup.get
+    return {
+        "rows_in": obs_in.get["rows"],
+        "rows_quality_pass": obs_gated.get["rows"],
+        "rows_after_dedup": stage1["rows"],
+        "split_counts": {n: stage1[n] for n in names},
+        "eval_docs": contam["eval_docs"],
+        "contaminated_docs": contam["contaminated_docs"],
+        "contaminated_grams": int(contam["contaminated_grams"] or 0),
+        "curated_path": curated_path,
+        "report_path": report_path,
+    }

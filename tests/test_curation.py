@@ -1,0 +1,185 @@
+"""End-to-end curation pipeline (plans/curation_pipeline.py).
+
+The whole chain — quality gates → exact dedup → hash split → 13-gram
+decontamination — is verified against a from-scratch pure-Python
+reference (own tokenizer, own quality formula with Spark's HALF_UP
+rounding, own md5 grouping, own XXH64 split, own gram set intersection),
+so a regression in ANY stage or in their composition shows up as a
+doc-level diff, not just a count drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_auto_label_spark.plans.curation_pipeline import (
+    curate_corpus,
+    exact_dedup_rows,
+    quality_gates,
+)
+from test_xxh64_sql import xxh64_ref
+
+SF_DIR = "/root/testdata/sf0.001"
+GATES = dict(min_quality=0.5, min_tokens=20, max_dup_word_frac=0.65)
+
+
+def _py_quality(t: str) -> float:
+    """quality_score replicated from scratch, incl. Spark's
+    round(double, 6) = BigDecimal(HALF_UP over Double.toString)."""
+    n = len(t)
+    lb = 0.0 if n < 20 else (0.3 if n > 8000 else 1.0)
+    stripped = re.sub(r"[^\s\w]", "", t, flags=re.ASCII)
+    pr = (n - len(stripped)) / max(n, 1)
+    toks = len(re.split(r"\s+", t.strip()))
+    mw = n / max(toks, 1)
+    wb = 1.0 if 3 <= mw <= 12 else 0.4
+    raw = 0.4 * lb + 0.3 * (1 - pr) + 0.3 * wb
+    return float(Decimal(repr(raw)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _py_reference(rows, n=13):
+    """The full pipeline in pure Python: returns (kept {id: split},
+    report {id: (n_grams, n_contam)})."""
+    kept = []
+    for did, text in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        dwf = 1 - len(set(toks)) / len(toks)
+        if (
+            _py_quality(text) >= GATES["min_quality"]
+            and len(re.split(r"\s+", text.strip())) >= GATES["min_tokens"]
+            and dwf <= GATES["max_dup_word_frac"]
+        ):
+            kept.append((did, text))
+    by_hash = {}
+    for did, text in sorted(kept):
+        h = hashlib.md5(text.encode()).hexdigest()
+        by_hash.setdefault(h, (did, text))
+    split = {}
+    for did, _ in by_hash.values():
+        u = xxh64_ref(struct.pack("<q", did), 42)
+        s = u - 2**64 if u >= 2**63 else u
+        b = ((s % 100) + 100) % 100
+        split[did] = "train" if b < 80 else ("val" if b < 90 else "test")
+    train_grams, report = set(), {}
+    texts = dict(rows)
+    for did, sp in split.items():
+        toks = re.split(r"\s+", texts[did].strip().lower())
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if sp == "train":
+            train_grams |= grams
+    for did, sp in split.items():
+        if sp != "train":
+            toks = re.split(r"\s+", texts[did].strip().lower())
+            grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            report[did] = (len(grams), len(grams & train_grams))
+    return split, report
+
+
+@pytest.fixture(scope="module")
+def curated(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curation"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    summary = curate_corpus(spark, docs, out, **GATES)
+    return out, summary
+
+
+def test_curation_matches_python_reference(spark, curated):
+    out, summary = curated
+    rows = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").collect()
+    ]
+    want_split, want_report = _py_reference(rows)
+
+    got_split = {
+        r.doc_id: r.split
+        for r in spark.read.parquet(f"{out}/curated").select("doc_id", "split").collect()
+    }
+    assert got_split == want_split
+
+    got_report = {
+        r.id: (r.n_grams, r.n_contam)
+        for r in spark.read.parquet(f"{out}/decontam_report").collect()
+    }
+    assert got_report == want_report
+
+    assert summary["rows_in"] == len(rows)
+    assert summary["rows_after_dedup"] == len(want_split)
+    want_counts = {"train": 0, "val": 0, "test": 0}
+    for sp in want_split.values():
+        want_counts[sp] += 1
+    assert summary["split_counts"] == want_counts
+    assert summary["eval_docs"] == len(want_report)
+    assert summary["contaminated_docs"] == sum(
+        1 for _, c in want_report.values() if c
+    )
+    assert summary["contaminated_grams"] == sum(c for _, c in want_report.values())
+    # the fixture must exercise every stage: gates drop rows, decontam hits
+    assert summary["rows_quality_pass"] < summary["rows_in"]
+    assert summary["contaminated_docs"] > 0
+
+
+def test_curation_rerun_is_deterministic(spark, curated, tmp_path):
+    out, summary = curated
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out2 = str(tmp_path / "rerun")
+    summary2 = curate_corpus(spark, docs, out2, **GATES)
+    assert {k: v for k, v in summary.items() if "path" not in k} == {
+        k: v for k, v in summary2.items() if "path" not in k
+    }
+    con = duckdb.connect()
+    for sub in ("curated", "decontam_report"):
+        a, b = f"{out}/{sub}", f"{out2}/{sub}"
+        diff = con.sql(
+            f"SELECT count(*) FROM ("
+            f"SELECT * FROM '{a}/**/*.parquet' EXCEPT SELECT * FROM '{b}/**/*.parquet' "
+            f"UNION ALL "
+            f"SELECT * FROM '{b}/**/*.parquet' EXCEPT SELECT * FROM '{a}/**/*.parquet')"
+        ).fetchone()[0]
+        assert diff == 0, sub
+
+
+def test_exact_dedup_rows_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
+        "doc_id: long, text: string",
+    )
+    got = sorted(
+        (r.doc_id, r.text) for r in exact_dedup_rows(df).collect()
+    )
+    assert got == [(1, "same text"), (2, "other")]
+
+
+def test_quality_gates_drop_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ab"),                                  # too short: quality 0.42
+            (2, "a a a a a a a a a a a a a a a a a a"), # dup_word_frac ≈ 0.94
+            (3, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        "doc_id: long, text: string",
+    )
+    kept = [
+        r.doc_id
+        for r in quality_gates(df, max_dup_word_frac=0.65).collect()
+    ]
+    assert kept == [3]
+
+
+def test_quality_gates_are_narrow(spark):
+    """Gates must add zero Exchanges — pure column math over the scan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        quality_gates(docs, min_tokens=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
