@@ -760,6 +760,8 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_WEIGHTS = (80, 10, 10)
 _SPLIT_NAMES = ("train", "val", "test")
+# mixture target: weight ∝ source ordinal + 1 (src0 → 1 … src19 → 20)
+_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
 
 
 def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,16 +777,24 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``split_summary``: k = split name, v1 = n_docs, v2 = split index;
     - ``decontam``: k = non-train doc_id, v1 = distinct 13-grams shared
       with ANY train doc (GPT-3 §C benchmark decontamination),
-      v2 = the doc's distinct 13-gram count.
+      v2 = the doc's distinct 13-gram count;
+    - ``mixture`` / ``mixture_summary``: deterministic domain-mixture
+      down-sample to weights w(src_i) = i+1 (operators/sampling.py
+      mixture_sample — scarcest-group-bound integer proportions, rank by
+      (xxhash64(id), id) within group): per kept doc k = doc_id,
+      v1 = in-group rank, v2 = domain weight; per domain k = source,
+      v1 = kept count, v2 = total count.
 
     The oracle replicates Spark's xxhash64(BIGINT) bit-exactly in DuckDB
     SQL (functions/xxh64_sql.xxh64_long8_stages — XXH64 of the 8-byte LE
-    word, seed 42), so per-doc assignments are value-hash-compared; the
-    decontamination counts are exact integers computed by an independent
-    DuckDB n-gram pipeline over the same split."""
+    word, seed 42), so per-doc assignments AND per-doc mixture ranks are
+    value-hash-compared; the decontamination counts are exact integers
+    computed by an independent DuckDB n-gram pipeline over the same
+    split."""
     from ocr_auto_label_spark.operators.sampling import (
         cross_split_contamination,
         deterministic_split,
+        mixture_sample,
     )
     from ocr_auto_label_spark.operators.util import ensure_parallelism
 
@@ -826,7 +836,30 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contam").alias("v1"),
         F.col("n_grams").alias("v2"),
     )
-    return exact.unionByName(assign).unionByName(summary).unionByName(decon)
+    # domain-mixture down-sample: weight ∝ source ordinal + 1 (a
+    # deliberately non-uniform target so the integer proportions bind)
+    wgt = (F.substring("source", 4, 10).cast("long") + 1)
+    mixed = mixture_sample(docs, "source", _MIX_WEIGHTS)
+    mix = mixed.select(
+        F.lit("mixture").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("mix_rank").cast("long").alias("v1"),
+        wgt.alias("v2"),
+    )
+    mix_summary = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    ).join(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_all")), "source"
+    ).select(
+        F.lit("mixture_summary").alias("variant"),
+        F.col("source").alias("k"),
+        F.col("n_kept").cast("long").alias("v1"),
+        F.col("n_all").cast("long").alias("v2"),
+    )
+    return (
+        exact.unionByName(assign).unionByName(summary)
+        .unionByName(decon).unionByName(mix).unionByName(mix_summary)
+    )
 
 
 def _dedup_exact_and_split_duck() -> str:
@@ -845,10 +878,24 @@ def _dedup_exact_and_split_duck() -> str:
         f"WHEN 1 THEN '{_SPLIT_NAMES[1]}' ELSE '{_SPLIT_NAMES[2]}' END"
     )
     return f"""
-WITH hashed AS ({hashed}),
+WITH hashed AS MATERIALIZED ({hashed}),
 b AS (SELECT doc_id,
              CAST((({to_signed('__l8_u')} % 100) + 100) % 100 AS BIGINT) AS bucket
       FROM hashed),
+hsig AS (SELECT doc_id, {to_signed('__l8_u')} AS h FROM hashed),
+mw AS (SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS w
+       FROM (SELECT DISTINCT source FROM documents)),
+mxc AS (SELECT d.source, count(*) AS n, any_value(mw.w) AS w
+        FROM documents d JOIN mw ON d.source = mw.source GROUP BY d.source),
+mstar AS (SELECT n AS n_star, w AS w_star FROM mxc
+          ORDER BY n * 1.0 / w, source LIMIT 1),
+mkeep AS (SELECT mxc.source, mxc.n, mxc.w,
+                 (mstar.n_star * mxc.w) // mstar.w_star AS keep
+          FROM mxc CROSS JOIN mstar),
+mrank AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (PARTITION BY d.source ORDER BY hsig.h, d.doc_id) AS rk
+  FROM documents d JOIN hsig ON d.doc_id = hsig.doc_id),
 s AS MATERIALIZED (SELECT doc_id, bucket,
              CASE WHEN bucket < {lo} THEN 0 WHEN bucket < {hi} THEN 1 ELSE 2 END AS idx
       FROM b),
@@ -880,6 +927,12 @@ SELECT 'decontam', CAST(s.doc_id AS VARCHAR),
 FROM s LEFT JOIN tot ON s.doc_id = tot.doc_id
        LEFT JOIN hit ON s.doc_id = hit.doc_id
 WHERE s.idx > 0
+UNION ALL
+SELECT 'mixture', CAST(mrank.doc_id AS VARCHAR), mrank.rk, mkeep.w
+FROM mrank JOIN mkeep ON mrank.source = mkeep.source
+WHERE mrank.rk <= mkeep.keep
+UNION ALL
+SELECT 'mixture_summary', source, keep, n FROM mkeep
 """
 
 

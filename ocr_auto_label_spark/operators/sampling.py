@@ -23,7 +23,7 @@ value-hash-compared, not just counted.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
@@ -62,6 +62,55 @@ def deterministic_split(
     for hi_bound, name in reversed(conds[:-1]):
         split = F.when(F.col("bucket") < hi_bound, F.lit(name)).otherwise(split)
     return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture down-sample: keep per-group counts in
+    the exact integer proportion of ``weights`` (the DoReMi/data-mixing
+    recipe — rebalance sources to a target mixture without RNG state).
+
+    The scarcest group relative to its weight binds the total: with
+    ``(g*, n*, w*) = argmin n_g/w_g`` (ties → lexicographically smallest
+    group), group g keeps ``n* · w_g // w*`` rows — pure integer
+    arithmetic, so the DuckDB oracle reproduces every count exactly, and
+    ``keep_g ≤ n_g`` holds by construction.  WHICH rows survive is
+    deterministic too: rank within group by ``(xxhash64(id), id)`` and
+    keep the first ``keep_g`` — same hash family as the split, so the
+    sample is stable across runs, partitionings, and engines.
+
+    Scale shape: one bounded driver pull (a row per DOMAIN — dozens, not
+    data-sized), one window shuffle keyed by group.  Skewed domains are
+    exactly the hot keys AQE splits; the rank threshold is a literal map
+    folded into the filter, so no second join.
+
+    Adds ``mix_rank``; returns only surviving rows.
+    """
+    missing = [r[0] for r in df.select(group_col).distinct().collect()
+               if r[0] not in weights]
+    if missing:
+        raise ValueError(f"mixture_sample: no weight for groups {sorted(missing)}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be positive")
+    # bounded pull: one row per domain
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    star = min(counts, key=lambda g: (counts[g] / weights[g], g))
+    n_star, w_star = counts[star], weights[star]
+    keep = {g: n_star * weights[g] // w_star for g in counts}
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(id_col).cast("long")), id_col
+    )
+    keep_expr: Column = F.lit(None).cast("long")
+    for g in sorted(keep, reverse=True):
+        keep_expr = F.when(F.col(group_col) == g, F.lit(keep[g])).otherwise(keep_expr)
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= keep_expr)
+    )
 
 
 def word_ngrams(text_col: Column, n: int) -> Column:

@@ -147,6 +147,50 @@ def test_cross_split_contamination_short_docs(spark):
     assert got == {2: (3, 3), 3: (0, 0), 4: (2, 0)}
 
 
+def test_mixture_sample_vs_python(spark):
+    """Scarcest-group-bound integer proportions + (xxhash64, id) rank:
+    per-group kept sets must equal a from-scratch Python reference."""
+    from ocr_auto_label_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark)
+    weights = {f"src{i}": i + 1 for i in range(20)}
+    got = {}
+    for r in mixture_sample(docs, "source", weights).select(
+        "doc_id", "source", "mix_rank"
+    ).collect():
+        got.setdefault(r.source, []).append((r.mix_rank, r.doc_id))
+    rows = docs.select("doc_id", "source").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.source, []).append(r.doc_id)
+    star = min(groups, key=lambda g: (len(groups[g]) / weights[g], g))
+    n_star, w_star = len(groups[star]), weights[star]
+    for g, ids in groups.items():
+        keep = n_star * weights[g] // w_star
+        ranked = sorted(ids, key=lambda i: (_signed_hash(i), i))[:keep]
+        want = [(rk + 1, did) for rk, did in enumerate(ranked)]
+        assert sorted(got.get(g, [])) == want, g
+    # proportions bind: every group keeps <= its total, scarcest keeps all
+    assert len(got.get(star, [])) == n_star
+
+
+def _signed_hash(doc_id: int) -> int:
+    u = xxh64_ref(struct.pack("<q", doc_id), 42)
+    return u - 2**64 if u >= 2**63 else u
+
+
+def test_mixture_sample_validates_inputs(spark):
+    from ocr_auto_label_spark.operators.sampling import mixture_sample
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="no weight"):
+        mixture_sample(docs, "source", {"src0": 1})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(
+            docs, "source", {f"src{i}": (0 if i == 3 else 1) for i in range(20)}
+        )
+
+
 def test_hash_bucket_range(spark):
     rows = _docs(spark).select(
         hash_bucket(F.col("doc_id"), 7).alias("b")
