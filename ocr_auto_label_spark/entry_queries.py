@@ -762,6 +762,8 @@ _SPLIT_WEIGHTS = (80, 10, 10)
 _SPLIT_NAMES = ("train", "val", "test")
 # mixture target: weight ∝ source ordinal + 1 (src0 → 1 … src19 → 20)
 _MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+_PACK_BUDGET = 1024
+_PACK_SHARDS = 8
 
 
 def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,7 +785,12 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       mixture_sample — scarcest-group-bound integer proportions, rank by
       (xxhash64(id), id) within group): per kept doc k = doc_id,
       v1 = in-group rank, v2 = domain weight; per domain k = source,
-      v1 = kept count, v2 = total count.
+      v1 = kept count, v2 = total count;
+    - ``pack_assign`` / ``pack_offset`` / ``pack_summary``: sequence
+      packing (operators/packing.py — per-shard (xxhash64, id) order,
+      cumulative token count, pack = start_offset div 1024): per doc
+      (shard, pack_id) and (start_offset, n_tokens); per pack the doc
+      and token totals.
 
     The oracle replicates Spark's xxhash64(BIGINT) bit-exactly in DuckDB
     SQL (functions/xxh64_sql.xxh64_long8_stages — XXH64 of the 8-byte LE
@@ -856,9 +863,38 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("v1"),
         F.col("n_all").cast("long").alias("v2"),
     )
+    # sequence packing: per-shard deterministic order + token-budget cuts
+    from ocr_auto_label_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        docs, _PACK_BUDGET, "doc_id", "text", n_shards=_PACK_SHARDS
+    )
+    pack_assign = packed.select(
+        F.lit("pack_assign").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("shard").alias("v1"),
+        F.col("pack_id").alias("v2"),
+    )
+    pack_offset = packed.select(
+        F.lit("pack_offset").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("start_offset").alias("v1"),
+        F.col("n_tokens").alias("v2"),
+    )
+    pack_summary = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tok"),
+    ).select(
+        F.lit("pack_summary").alias("variant"),
+        F.concat_ws("/", F.col("shard"), F.col("pack_id")).alias("k"),
+        F.col("n_docs").cast("long").alias("v1"),
+        F.col("n_tok").cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(assign).unionByName(summary)
         .unionByName(decon).unionByName(mix).unionByName(mix_summary)
+        .unionByName(pack_assign).unionByName(pack_offset)
+        .unionByName(pack_summary)
     )
 
 
@@ -896,6 +932,15 @@ mrank AS MATERIALIZED (
   SELECT d.doc_id, d.source,
          row_number() OVER (PARTITION BY d.source ORDER BY hsig.h, d.doc_id) AS rk
   FROM documents d JOIN hsig ON d.doc_id = hsig.doc_id),
+ptok AS (SELECT d.doc_id, hsig.h,
+                ((hsig.h % {_PACK_SHARDS}) + {_PACK_SHARDS}) % {_PACK_SHARDS} AS shard,
+                CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS tc
+         FROM documents d JOIN hsig ON d.doc_id = hsig.doc_id),
+pcum AS MATERIALIZED (
+  SELECT doc_id, shard, tc,
+         sum(tc) OVER (PARTITION BY shard ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) - tc AS off
+  FROM ptok),
 s AS MATERIALIZED (SELECT doc_id, bucket,
              CASE WHEN bucket < {lo} THEN 0 WHEN bucket < {hi} THEN 1 ELSE 2 END AS idx
       FROM b),
@@ -933,6 +978,16 @@ FROM mrank JOIN mkeep ON mrank.source = mkeep.source
 WHERE mrank.rk <= mkeep.keep
 UNION ALL
 SELECT 'mixture_summary', source, keep, n FROM mkeep
+UNION ALL
+SELECT 'pack_assign', CAST(doc_id AS VARCHAR), shard, off // {_PACK_BUDGET}
+FROM pcum
+UNION ALL
+SELECT 'pack_offset', CAST(doc_id AS VARCHAR), off, tc FROM pcum
+UNION ALL
+SELECT 'pack_summary',
+       CAST(shard AS VARCHAR) || '/' || CAST(off // {_PACK_BUDGET} AS VARCHAR),
+       count(*), sum(tc)
+FROM pcum GROUP BY shard, off // {_PACK_BUDGET}
 """
 
 
