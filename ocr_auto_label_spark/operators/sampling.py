@@ -90,14 +90,14 @@ def mixture_sample(
 
     Adds ``mix_rank``; returns only surviving rows.
     """
-    missing = [r[0] for r in df.select(group_col).distinct().collect()
-               if r[0] not in weights]
-    if missing:
-        raise ValueError(f"mixture_sample: no weight for groups {sorted(missing)}")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("mixture_sample: weights must be positive")
-    # bounded pull: one row per domain
+    # bounded pull: one row per domain (also the missing-weight check —
+    # one driver round-trip, not a separate distinct() job)
     counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    missing = sorted(g for g in counts if g not in weights)
+    if missing:
+        raise ValueError(f"mixture_sample: no weight for groups {missing}")
     star = min(counts, key=lambda g: (counts[g] / weights[g], g))
     n_star, w_star = counts[star], weights[star]
     keep = {g: n_star * weights[g] // w_star for g in counts}
