@@ -297,3 +297,29 @@ def test_sql_twin_broadcasts_canonical_dim_and_stays_jvm_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan  # neither Batch- nor Arrow-: no Python
+
+
+def test_pack_sequences_single_shuffle_jvm_side(spark):
+    """Packing = exactly one Exchange (the shard-keyed window); the rest
+    is narrow column math — no Python, no extra shuffle for pack_id."""
+    from ocr_auto_label_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, 512))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_single_shuffle_jvm_side(spark):
+    """The returned sample plan = one Exchange (the group-keyed window)
+    with the rank threshold folded in as a literal CASE — no second join
+    against a keep-counts table."""
+    from ocr_auto_label_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {f"src{i}": i + 1 for i in range(20)}
+    plan = _plan(mixture_sample(docs, "source", weights))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
