@@ -260,6 +260,57 @@ def data_scaling_run(base_turns: int, factor: int) -> dict:
     }
 
 
+def shuffle_scaling_run(base_turns: int, factor: int) -> dict:
+    """Data-scaling evidence for a SHUFFLE-bearing op (the flagship leg
+    covers only the zero-shuffle narrow plan): exact-dedup-shape
+    aggregation — groupBy(md5(text)) with min/count — over the transcript
+    text at N and factor·N rows.  Transcript texts are ~23-37% distinct,
+    so the shuffle genuinely scales with the data (map-side combine
+    reduces but does not collapse it).  A healthy plan holds rows/sec
+    roughly flat; a broken one (no partial agg, single-partition sink)
+    degrades superlinearly."""
+    from ocr_auto_label_spark.datagen import replicated_transcripts, transcripts_parquet
+    from ocr_auto_label_spark.session import build_spark
+
+    base_path = transcripts_parquet(base_turns)
+    spark = build_spark(app_name="bench-shufflescale", master=f"local[{CPUS}]",
+                        shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("OFF")
+    try:
+        big_path = replicated_transcripts(spark, base_turns, factor)
+        legs = {}
+        for name, path, n in (
+            ("base", base_path, base_turns),
+            ("scaled", big_path, base_turns * factor),
+        ):
+            from pyspark.sql import functions as F
+
+            df = (
+                spark.read.parquet(path)
+                .groupBy(F.md5("text").alias("h"))
+                .agg(F.min("conv_id").alias("keep"),
+                     F.count(F.lit(1)).alias("cnt"))
+            )
+            _materialize(df)  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(df)
+                best = min(best, time.time() - t0)
+            legs[name] = {"turns": n, "sec": round(best, 3),
+                          "turns_per_sec": round(n / best, 1)}
+    finally:
+        spark.stop()
+    ratio = legs["scaled"]["turns_per_sec"] / legs["base"]["turns_per_sec"]
+    return {
+        "factor": factor,
+        **{f"{k}_{m}": v[m] for k, v in legs.items()
+           for m in ("turns", "sec", "turns_per_sec")},
+        "rate_ratio": round(ratio, 3),
+        "rate_drop_pct": round(max(0.0, 1 - ratio) * 100, 1),
+    }
+
+
 def skew_run(n_turns: int) -> dict:
     """North-star skew leg: same input, same single shuffle, the ONLY
     difference is key balance — raw conv_id partitioning (the hot
@@ -340,6 +391,10 @@ def main() -> None:
         n_turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "4800000"))
         out["scaling"] = scaling_block(n_turns)
         out["data_scaling"] = data_scaling_run(
+            int(os.environ.get("SPARK_GRAFT_DATA_SCALE_BASE", str(n_turns))),
+            int(os.environ.get("SPARK_GRAFT_DATA_SCALE_FACTOR", "10")),
+        )
+        out["shuffle_scaling"] = shuffle_scaling_run(
             int(os.environ.get("SPARK_GRAFT_DATA_SCALE_BASE", str(n_turns))),
             int(os.environ.get("SPARK_GRAFT_DATA_SCALE_FACTOR", "10")),
         )
