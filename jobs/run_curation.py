@@ -40,19 +40,21 @@ def main() -> None:
 
     spark = build_spark(app_name="curation", master=args.master)
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
-    summary = curate_corpus(
-        spark,
-        docs,
-        args.output,
-        min_quality=args.min_quality,
-        min_tokens=args.min_tokens,
-        max_dup_word_frac=args.max_dup_word_frac,
-        ngram_n=args.ngram_n,
-    )
-    summary["elapsed_sec"] = round(time.time() - t0, 2)
-    print(json.dumps(summary))
-    spark.stop()
+    try:
+        docs = spark.read.parquet(args.input)
+        summary = curate_corpus(
+            spark,
+            docs,
+            args.output,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            max_dup_word_frac=args.max_dup_word_frac,
+            ngram_n=args.ngram_n,
+        )
+        summary["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(summary))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

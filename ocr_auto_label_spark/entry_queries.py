@@ -212,7 +212,7 @@ rper AS (SELECT doc_id, gram, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
 rdoc AS (SELECT doc_id, max(cnt) AS top_cnt,
                 CAST(sum(cnt) AS BIGINT) AS bigram_cnt
          FROM rper GROUP BY 1),
-qt AS (SELECT lang, count(*) AS n,
+qt AS (SELECT lang, count({_duck_tokens_len}) AS n,
               quantile_disc({_duck_tokens_len}, 0.50) AS p50,
               quantile_disc({_duck_tokens_len}, 0.90) AS p90,
               quantile_disc({_duck_tokens_len}, 0.99) AS p99
@@ -923,8 +923,12 @@ mw AS (SELECT source, CAST(substr(source, 4) AS BIGINT) + 1 AS w
        FROM (SELECT DISTINCT source FROM documents)),
 mxc AS (SELECT d.source, count(*) AS n, any_value(mw.w) AS w
         FROM documents d JOIN mw ON d.source = mw.source GROUP BY d.source),
-mstar AS (SELECT n AS n_star, w AS w_star FROM mxc
-          ORDER BY n * 1.0 / w, source LIMIT 1),
+mstar AS (SELECT g.n AS n_star, g.w AS w_star FROM mxc g
+          WHERE NOT EXISTS (
+            SELECT 1 FROM mxc h
+            WHERE CAST(h.n AS HUGEINT) * g.w < CAST(g.n AS HUGEINT) * h.w
+               OR (CAST(h.n AS HUGEINT) * g.w = CAST(g.n AS HUGEINT) * h.w
+                   AND h.source < g.source))),
 mkeep AS (SELECT mxc.source, mxc.n, mxc.w,
                  (mstar.n_star * mxc.w) // mstar.w_star AS keep
           FROM mxc CROSS JOIN mstar),

@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ocr_auto_label_spark.operators.sampling import checked_id_hash
+from ocr_auto_label_spark.operators.textstats import token_count
+
 
 def pack_sequences(
     df: DataFrame,
@@ -44,7 +47,7 @@ def pack_sequences(
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError("pack_sequences: budget and n_shards must be positive")
-    hash_col = F.xxhash64(F.col(id_col).cast("long"))
+    hash_col = checked_id_hash(F.col(id_col))
     w = (
         Window.partitionBy("shard")
         .orderBy(hash_col, id_col)
@@ -53,9 +56,7 @@ def pack_sequences(
     with_tokens = df.select(
         id_col,
         F.pmod(hash_col, F.lit(n_shards)).cast("long").alias("shard"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
-            "n_tokens"
-        ),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     return with_tokens.select(
         id_col,

@@ -23,7 +23,21 @@ value-hash-compared, not just counted.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def checked_id_hash(id_col: Column) -> Column:
+    """Signed xxhash64 (seed 42) of a NON-NULL long id.  NULL ids must
+    fail loudly: ``xxhash64(NULL)`` silently evaluates to the seed, which
+    would collapse every null-id row into one bucket/shard/rank key — and
+    diverge from the SQL oracles, which propagate NULL instead."""
+    checked = F.when(
+        id_col.isNull(),
+        F.raise_error(F.lit("sampling: NULL id — hash assignment requires non-null ids")),
+    ).otherwise(id_col.cast("long"))
+    return F.xxhash64(checked)
 
 
 def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
@@ -31,7 +45,7 @@ def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
     Spark's default).  ``pmod`` (not ``%``) because xxhash64 is signed:
     Java ``%`` keeps the dividend's sign and half of all hashes are
     negative."""
-    return F.pmod(F.xxhash64(id_col.cast("long")), F.lit(buckets))
+    return F.pmod(checked_id_hash(id_col), F.lit(buckets))
 
 
 def deterministic_split(
@@ -51,6 +65,12 @@ def deterministic_split(
         raise ValueError(
             f"deterministic_split: weights must sum to buckets ({buckets}), "
             f"got {sum(weights)}"
+        )
+    clash = {"bucket", "split"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"deterministic_split: input already has column(s) {sorted(clash)} "
+            "— refusing to silently overwrite an existing assignment"
         )
     bucket = hash_bucket(F.col(id_col), buckets)
     hi = 0
@@ -98,12 +118,14 @@ def mixture_sample(
     missing = sorted(g for g in counts if g not in weights)
     if missing:
         raise ValueError(f"mixture_sample: no weight for groups {missing}")
-    star = min(counts, key=lambda g: (counts[g] / weights[g], g))
+    # exact rational argmin (Fraction, not float division: two unequal
+    # ratios near 2^53 can collide as doubles and pick the wrong binding
+    # group, breaking keep_g <= n_g); the SQL oracle uses the matching
+    # integer cross-multiplication form
+    star = min(counts, key=lambda g: (Fraction(counts[g], weights[g]), g))
     n_star, w_star = counts[star], weights[star]
     keep = {g: n_star * weights[g] // w_star for g in counts}
-    w = Window.partitionBy(group_col).orderBy(
-        F.xxhash64(F.col(id_col).cast("long")), id_col
-    )
+    w = Window.partitionBy(group_col).orderBy(checked_id_hash(F.col(id_col)), id_col)
     keep_expr: Column = F.lit(None).cast("long")
     for g in sorted(keep, reverse=True):
         keep_expr = F.when(F.col(group_col) == g, F.lit(keep[g])).otherwise(keep_expr)

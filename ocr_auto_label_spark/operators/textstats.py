@@ -31,6 +31,14 @@ def word_tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+def dup_word_frac(toks: Column) -> Column:
+    """Gopher duplicate-word fraction over a token-array column:
+    1 − |distinct words| / |words| (narrow column math, no shuffle).
+    Single definition shared by repetition_stats and the curation
+    quality gates."""
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+
+
 def punct_ratio(col: Column) -> Column:
     stripped = F.regexp_replace(col, r"[^\s\w]", "")
     return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
@@ -138,8 +146,7 @@ def repetition_stats(
     base = toks.select(
         "id",
         F.size("toks").alias("token_cnt"),
-        (F.lit(1.0) - F.size(F.array_distinct("toks"))
-         / F.size("toks")).alias("dup_word_frac"),
+        dup_word_frac(F.col("toks")).alias("dup_word_frac"),
         "toks",
     )
     grams = base.select(
@@ -193,7 +200,14 @@ def exact_group_quantiles(
     """
     if not percentiles or any(not 1 <= p <= 100 for p in percentiles):
         raise ValueError("exact_group_quantiles: percentiles must be in [1, 100]")
-    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL values are excluded from both n and the rank ladder (matching
+    # quantile_disc / any sane quantile definition; an unfiltered NULL
+    # rung would sort first and shift every picked rank)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.partitionBy(group_col).orderBy(value_col)
     cum = counts.select(
         group_col,

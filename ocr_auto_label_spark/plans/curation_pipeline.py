@@ -32,6 +32,7 @@ from ocr_auto_label_spark.operators.sampling import (
     deterministic_split,
 )
 from ocr_auto_label_spark.operators.textstats import (
+    dup_word_frac,
     quality_score,
     token_count,
     word_tokens,
@@ -49,12 +50,10 @@ def quality_gates(
     score, minimum token count, Gopher duplicate-word-fraction cap.
     All three are pure column expressions inside whole-stage codegen."""
     c = F.col(text_col)
-    toks = word_tokens(c)
-    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
     return df.filter(
         (quality_score(c) >= min_quality)
         & (token_count(c) >= min_tokens)
-        & (dup_word_frac <= max_dup_word_frac)
+        & (dup_word_frac(word_tokens(c)) <= max_dup_word_frac)
     )
 
 
@@ -117,7 +116,16 @@ def curate_corpus(
         ],
     )
     curated_path = f"{output_dir}/curated"
-    assigned.write.mode("overwrite").partitionBy("split").parquet(curated_path)
+    # STATIC overwrite, overriding the session-wide dynamic mode (which
+    # the resumable extraction sink wants): this is a full-corpus rewrite,
+    # and dynamic mode would leave a stale partition behind whenever a
+    # split receives zero rows on a re-run
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("split")
+        .parquet(curated_path)
+    )
 
     curated = spark.read.parquet(curated_path).select(id_col, text_col, "split")
     report = cross_split_contamination(

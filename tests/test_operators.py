@@ -453,6 +453,23 @@ def test_exact_group_quantiles_vs_python(spark):
             assert got[(g, p)] == (n, want), (g, p)
 
 
+def test_exact_group_quantiles_ignores_nulls(spark):
+    """NULL values are excluded from both n and the rank ladder, matching
+    DuckDB quantile_disc (an unfiltered NULL rung sorts first and shifts
+    every picked rank)."""
+    from ocr_auto_label_spark.operators.textstats import exact_group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 3), ("g", None), ("g", 5)],
+        "g: string, v: int",
+    )
+    got = {
+        r.percentile: (r.n, r.val)
+        for r in exact_group_quantiles(df, "v", "g", (50, 100)).collect()
+    }
+    assert got == {50: (3, 3), 100: (3, 5)}
+
+
 def test_exact_group_quantiles_validates_percentiles(spark):
     import pytest as _pytest
 

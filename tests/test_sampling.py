@@ -191,6 +191,26 @@ def test_mixture_sample_validates_inputs(spark):
         )
 
 
+def test_null_id_fails_loudly(spark):
+    """xxhash64(NULL) silently evaluates to the seed — every hash-ordered
+    operator must raise instead of collapsing null-id rows into one
+    bucket (and silently diverging from the SQL oracles, which propagate
+    NULL)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id: long, text: string")
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as e:
+        deterministic_split(df).collect()
+    assert "NULL id" in str(e.value)
+
+
+def test_split_refuses_column_collision(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, split: string")
+    with pytest.raises(ValueError, match="refusing to silently overwrite"):
+        deterministic_split(df)
+
+
 def test_hash_bucket_range(spark):
     rows = _docs(spark).select(
         hash_bucket(F.col("doc_id"), 7).alias("b")
