@@ -38,28 +38,38 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 8,
+    within_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``(shard, n_tokens, start_offset, pack_id)`` per document.
 
     ``start_offset`` is the cumulative whitespace-token count of all
     earlier docs in the shard's ``(xxhash64(id), id)`` order;
     ``pack_id = start_offset // budget``.
+
+    ``within_cols`` adds boundary columns to the pack partitioning — a
+    pack never mixes rows across them.  The canonical use is
+    ``within_cols=["split"]`` after ``deterministic_split``: training
+    packs must never contain eval documents, so each (split, shard)
+    stream packs independently.
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError("pack_sequences: budget and n_shards must be positive")
+    within = list(within_cols or [])
     hash_col = checked_id_hash(F.col(id_col))
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*within, "shard")
         .orderBy(hash_col, id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_tokens = df.select(
         id_col,
+        *within,
         F.pmod(hash_col, F.lit(n_shards)).cast("long").alias("shard"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     return with_tokens.select(
         id_col,
+        *within,
         "shard",
         "n_tokens",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),

@@ -52,6 +52,35 @@ def test_pack_sequences_is_layout_invariant(spark):
     assert base == again
 
 
+def test_pack_sequences_respects_split_boundaries(spark):
+    """within_cols=['split']: a (split, shard, pack_id) pack never mixes
+    splits, and within each split the packing equals packing that split
+    alone — training packs can never contain eval documents."""
+    from ocr_auto_label_spark.operators.sampling import deterministic_split
+
+    docs = deterministic_split(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ).select("doc_id", "text", "split")
+    packed = pack_sequences(docs, BUDGET, n_shards=SHARDS, within_cols=["split"])
+    rows = packed.collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.split, r.shard, r.pack_id), set()).add(r.split)
+    assert all(len(s) == 1 for s in by_pack.values())
+    for name in ("train", "val", "test"):
+        alone = {
+            r.doc_id: (r.shard, r.start_offset, r.pack_id)
+            for r in pack_sequences(
+                docs.filter(F.col("split") == name), BUDGET, n_shards=SHARDS
+            ).collect()
+        }
+        joint = {
+            r.doc_id: (r.shard, r.start_offset, r.pack_id)
+            for r in rows if r.split == name
+        }
+        assert joint == alone, name
+
+
 def test_pack_sequences_validates(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError):
