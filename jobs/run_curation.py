@@ -4,7 +4,7 @@ Usage (cluster):
     spark-submit --py-files ocr_auto_label_spark.zip jobs/run_curation.py \
         --input <documents parquet/Iceberg path> --output out/ \
         [--min-quality 0.5] [--min-tokens 1] [--max-dup-word-frac 1.0] \
-        [--ngram-n 13]
+        [--ngram-n 13] [--pack-budget 2048]
 
 Usage (sandbox):
     python jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=1)
     p.add_argument("--max-dup-word-frac", type=float, default=1.0)
     p.add_argument("--ngram-n", type=int, default=13)
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="also write the sequence-packing assignment "
+                        "(packs never cross split boundaries); 0 = off")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -50,6 +53,7 @@ def main() -> None:
             min_tokens=args.min_tokens,
             max_dup_word_frac=args.max_dup_word_frac,
             ngram_n=args.ngram_n,
+            pack_budget=args.pack_budget,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

@@ -84,12 +84,16 @@ def curate_corpus(
     ngram_n: int = 13,
     weights: tuple[int, ...] = (80, 10, 10),
     names: tuple[str, ...] = ("train", "val", "test"),
+    pack_budget: int = 0,
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
     Writes ``{output_dir}/curated`` (the corpus, partitioned by split)
     and ``{output_dir}/decontam_report`` (one row per non-train doc:
-    id, n_grams, n_contam).  Deterministic end-to-end: gates and hashes
+    id, n_grams, n_contam).  With ``pack_budget > 0`` also writes
+    ``{output_dir}/packs``: the sequence-packing assignment
+    (``pack_sequences`` with ``within_cols=["split"]`` — packs never
+    cross split boundaries).  Deterministic end-to-end: gates and hashes
     are pure functions of the text/id, so re-running produces the same
     bytes for the same input.
     """
@@ -145,8 +149,35 @@ def curate_corpus(
         )
         .first()
     )
+    pack_stats = {}
+    if pack_budget > 0:
+        from ocr_auto_label_spark.operators.packing import pack_sequences
+
+        packs_path = f"{output_dir}/packs"
+        pack_sequences(
+            spark.read.parquet(curated_path).select(id_col, text_col, "split"),
+            pack_budget,
+            id_col,
+            text_col,
+            within_cols=["split"],
+        ).write.mode("overwrite").parquet(packs_path)
+        agg = (
+            spark.read.parquet(packs_path)
+            .groupBy("split", "shard", "pack_id").count()
+            .groupBy().agg(
+                F.count(F.lit(1)).alias("n_packs"),
+                F.sum("count").alias("n_docs"),
+            )
+            .first()
+        )
+        pack_stats = {
+            "packs_path": packs_path,
+            "n_packs": agg["n_packs"],
+            "packed_docs": agg["n_docs"],
+        }
     stage1 = obs_dedup.get
     return {
+        **pack_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],

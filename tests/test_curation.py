@@ -147,6 +147,24 @@ def test_curation_rerun_is_deterministic(spark, curated, tmp_path):
         assert diff == 0, sub
 
 
+def test_curation_with_packing(spark, tmp_path):
+    """pack_budget > 0 writes the split-pure packing assignment; every
+    curated doc is packed exactly once and packs never mix splits."""
+    out = str(tmp_path / "packed")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    summary = curate_corpus(spark, docs, out, pack_budget=512, **GATES)
+    assert summary["packed_docs"] == summary["rows_after_dedup"]
+    assert summary["n_packs"] > 3
+    rows = spark.read.parquet(f"{out}/packs").collect()
+    assert len(rows) == summary["rows_after_dedup"]
+    curated_split = {
+        r.doc_id: r.split for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    for r in rows:
+        assert r.split == curated_split[r.doc_id]
+        assert r.pack_id == r.start_offset // 512
+
+
 def test_exact_dedup_rows_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
