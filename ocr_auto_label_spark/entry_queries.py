@@ -126,6 +126,7 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences (≲1 ulp) can't flip a compared digit (the
     round(double, 6) HALF_UP-vs-binary trap, see module docstring)."""
     from ocr_auto_label_spark.operators.textstats import (
+        duplicated_span_stats,
         exact_group_quantiles,
         repetition_stats,
         unigram_nll,
@@ -177,9 +178,17 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("cnt"),
         F.col("val").cast("double").alias("val"),
     )
+    # Lee et al. 2021 duplicated-span fraction (25-token windows whose
+    # exact span occurs more than once anywhere in the corpus)
+    spans = duplicated_span_stats(docs).select(
+        F.lit("dup_span_frac").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_spans").alias("cnt"),
+        F.col("dup_span_frac").alias("val"),
+    )
     return (
         long_stats.unionByName(nll).unionByName(dup).unionByName(top)
-        .unionByName(qs)
+        .unionByName(qs).unionByName(spans)
     )
 
 
@@ -200,7 +209,7 @@ scored AS (
   SELECT t.doc_id,
          -ln((v.vcnt + 0.5) / (tot.n_tokens + 0.5 * tot.v_size)) AS nll
   FROM toksf t JOIN vocab v USING (word) CROSS JOIN tot),
-rt AS (SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),
+rt AS MATERIALIZED (SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),
 rbase AS (
   SELECT doc_id, len(t) AS token_cnt,
          1.0 - len(list_distinct(t)) / len(t) AS dupf, t FROM rt),
@@ -212,6 +221,14 @@ rper AS (SELECT doc_id, gram, count(*) AS cnt FROM rgrams GROUP BY 1, 2),
 rdoc AS (SELECT doc_id, max(cnt) AS top_cnt,
                 CAST(sum(cnt) AS BIGINT) AS bigram_cnt
          FROM rper GROUP BY 1),
+sp AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 25 + 2),
+                             i -> array_to_string(list_slice(t, i, i + 24), ' '))) AS span
+       FROM rt),
+sper AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY 1, 2),
+sw AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY span) AS stot FROM sper),
+sdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+                CAST(coalesce(sum(c) FILTER (stot > 1), 0) AS BIGINT) AS dup_spans
+         FROM sw GROUP BY 1),
 qt AS (SELECT lang, count({_duck_tokens_len}) AS n,
               quantile_disc({_duck_tokens_len}, 0.50) AS p50,
               quantile_disc({_duck_tokens_len}, 0.90) AS p90,
@@ -236,6 +253,11 @@ UNION ALL
 SELECT 'p90_tokens' AS variant, lang AS k, n AS cnt, CAST(p90 AS DOUBLE) AS val FROM qt
 UNION ALL
 SELECT 'p99_tokens' AS variant, lang AS k, n AS cnt, CAST(p99 AS DOUBLE) AS val FROM qt
+UNION ALL
+SELECT 'dup_span_frac' AS variant, CAST(d.doc_id AS VARCHAR) AS k,
+       coalesce(s.n_spans, 0) AS cnt,
+       coalesce(CAST(s.dup_spans AS DOUBLE) / s.n_spans, 0.0) AS val
+FROM documents d LEFT JOIN sdoc s USING (doc_id)
 """
 
 

@@ -175,6 +175,70 @@ def repetition_stats(
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 25,
+) -> DataFrame:
+    """Long-duplicated-span signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): for each document, the
+    fraction of its ``span_tokens``-token window positions whose exact
+    token span occurs MORE THAN ONCE in the corpus (any other occurrence
+    — another doc or a repeat within the same doc).  High fractions mark
+    boilerplate/mirrored content that exact whole-doc dedup misses.
+
+    Relational shape (no suffix array needed for the *metric*): explode
+    spans → per-(doc, span) counts (first shuffle, map-side combined) →
+    corpus totals via a span-keyed window (second shuffle) → per-doc
+    sums.  Span cardinality ≈ token count, so the shuffles are
+    O(corpus tokens) — the same budget as any n-gram pass.  Counts are
+    exact integers; the emitted fraction is an int/int division (same
+    IEEE double in every engine).
+
+    Output: (id, n_spans, dup_spans, dup_span_frac) — one row per doc,
+    zeros for docs shorter than ``span_tokens``.
+    """
+    toks = word_tokens(F.col(text_col))
+    n = span_tokens
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    )
+    per = spans.groupBy("id", "span").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c").over(Window.partitionBy("span"))
+    doc = (
+        per.withColumn("tot", tot)
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(F.col("dup_spans") / F.col("n_spans"), F.lit(0.0)).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
 def exact_group_quantiles(
     df: DataFrame,
     value_col: str,

@@ -453,6 +453,45 @@ def test_exact_group_quantiles_vs_python(spark):
             assert got[(g, p)] == (n, want), (g, p)
 
 
+def test_duplicated_span_stats_vs_python(spark):
+    """Per-doc duplicated-span fractions (cross-doc AND within-doc
+    repeats, short-doc zeros) vs a from-scratch python reference."""
+    from ocr_auto_label_spark.operators.textstats import duplicated_span_stats
+
+    base = "a b c d e"
+    df = spark.createDataFrame(
+        [
+            (1, f"{base} x y z"),          # shares the 5-span with doc 2
+            (2, f"q r {base} s"),
+            (3, "u v w"),                   # shorter than the span
+            (4, "m n o p m n o p m n o p"), # within-doc repeated span
+            (5, "unique words only here never repeated anywhere at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.id: (r.n_spans, r.dup_spans, r.dup_span_frac)
+        for r in duplicated_span_stats(df, span_tokens=5).collect()
+    }
+    import re
+    from collections import defaultdict
+
+    corpus = defaultdict(int)
+    per = {}
+    for did, text in df.select("doc_id", "text").collect():
+        toks = re.split(r"\s+", text.strip().lower())
+        spans = [" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)]
+        per[did] = spans
+        for s in spans:
+            corpus[s] += 1
+    for did, spans in per.items():
+        tot = len(spans)
+        dup = sum(1 for s in spans if corpus[s] > 1)
+        assert got[did] == (tot, dup, dup / tot if tot else 0.0), did
+    assert got[3] == (0, 0, 0.0)
+    assert got[4][1] > 0  # within-doc repeats count as duplicated
+
+
 def test_exact_group_quantiles_ignores_nulls(spark):
     """NULL values are excluded from both n and the rank ladder, matching
     DuckDB quantile_disc (an unfiltered NULL rung sorts first and shifts
