@@ -217,19 +217,16 @@ def scaling_block(n_turns: int) -> dict:
     }
 
 
-def data_scaling_run(base_turns: int, factor: int) -> dict:
-    """Throughput-vs-data-size evidence (VERDICT r3 #5): the same flagship
-    job at N and factor·N turns on the same local[CPUS] session shape —
-    a narrow zero-shuffle plan should hold its turns/sec flat as data
-    grows (the 100× claim, measured rather than argued from plan shape).
-    The large input is a deterministic conv_id-remapped replication of
-    the base table (datagen.replicated_transcripts), generated once and
-    cached."""
+def _scale_legs(app_name: str, base_turns: int, factor: int, df_builder) -> dict:
+    """Shared base-vs-scaled harness for the data-scaling legs: one
+    session, warm + best-of-2 per leg, identical timing and ratio math so
+    the flagship and shuffle artifacts stay comparable.  ``df_builder``
+    maps (spark, path) -> DataFrame for the plan under test."""
     from ocr_auto_label_spark.datagen import replicated_transcripts, transcripts_parquet
     from ocr_auto_label_spark.session import build_spark
 
     base_path = transcripts_parquet(base_turns)
-    spark = build_spark(app_name="bench-datascale", master=f"local[{CPUS}]",
+    spark = build_spark(app_name=app_name, master=f"local[{CPUS}]",
                         shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("OFF")
     try:
@@ -239,7 +236,7 @@ def data_scaling_run(base_turns: int, factor: int) -> dict:
             ("base", base_path, base_turns),
             ("scaled", big_path, base_turns * factor),
         ):
-            df = _flagship_df(spark, path)
+            df = df_builder(spark, path)
             _materialize(df)  # warm
             best = float("inf")
             for _ in range(2):
@@ -258,6 +255,17 @@ def data_scaling_run(base_turns: int, factor: int) -> dict:
         "rate_ratio": round(ratio, 3),
         "rate_drop_pct": round(max(0.0, 1 - ratio) * 100, 1),
     }
+
+
+def data_scaling_run(base_turns: int, factor: int) -> dict:
+    """Throughput-vs-data-size evidence (VERDICT r3 #5): the same flagship
+    job at N and factor·N turns on the same local[CPUS] session shape —
+    a narrow zero-shuffle plan should hold its turns/sec flat as data
+    grows (the 100× claim, measured rather than argued from plan shape).
+    The large input is a deterministic conv_id-remapped replication of
+    the base table (datagen.replicated_transcripts), generated once and
+    cached."""
+    return _scale_legs("bench-datascale", base_turns, factor, _flagship_df)
 
 
 def shuffle_scaling_run(base_turns: int, factor: int) -> dict:
@@ -269,46 +277,17 @@ def shuffle_scaling_run(base_turns: int, factor: int) -> dict:
     reduces but does not collapse it).  A healthy plan holds rows/sec
     roughly flat; a broken one (no partial agg, single-partition sink)
     degrades superlinearly."""
-    from ocr_auto_label_spark.datagen import replicated_transcripts, transcripts_parquet
-    from ocr_auto_label_spark.session import build_spark
+    from pyspark.sql import functions as F
 
-    base_path = transcripts_parquet(base_turns)
-    spark = build_spark(app_name="bench-shufflescale", master=f"local[{CPUS}]",
-                        shuffle_partitions=max(CPUS, 32))
-    spark.sparkContext.setLogLevel("OFF")
-    try:
-        big_path = replicated_transcripts(spark, base_turns, factor)
-        legs = {}
-        for name, path, n in (
-            ("base", base_path, base_turns),
-            ("scaled", big_path, base_turns * factor),
-        ):
-            from pyspark.sql import functions as F
+    def dedup_df(spark, path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("conv_id").alias("keep"),
+                 F.count(F.lit(1)).alias("cnt"))
+        )
 
-            df = (
-                spark.read.parquet(path)
-                .groupBy(F.md5("text").alias("h"))
-                .agg(F.min("conv_id").alias("keep"),
-                     F.count(F.lit(1)).alias("cnt"))
-            )
-            _materialize(df)  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                _materialize(df)
-                best = min(best, time.time() - t0)
-            legs[name] = {"turns": n, "sec": round(best, 3),
-                          "turns_per_sec": round(n / best, 1)}
-    finally:
-        spark.stop()
-    ratio = legs["scaled"]["turns_per_sec"] / legs["base"]["turns_per_sec"]
-    return {
-        "factor": factor,
-        **{f"{k}_{m}": v[m] for k, v in legs.items()
-           for m in ("turns", "sec", "turns_per_sec")},
-        "rate_ratio": round(ratio, 3),
-        "rate_drop_pct": round(max(0.0, 1 - ratio) * 100, 1),
-    }
+    return _scale_legs("bench-shufflescale", base_turns, factor, dedup_df)
 
 
 def skew_run(n_turns: int) -> dict:

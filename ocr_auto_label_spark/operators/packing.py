@@ -65,7 +65,11 @@ def pack_sequences(
         id_col,
         *within,
         F.pmod(hash_col, F.lit(n_shards)).cast("long").alias("shard"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text packs as 0 tokens (explicitly — a bare token_count
+        # would propagate NULL through the running sum and leave the row
+        # with pack_id NULL, silently outside every pack)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
     )
     return with_tokens.select(
         id_col,

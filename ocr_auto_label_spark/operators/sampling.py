@@ -32,11 +32,18 @@ def checked_id_hash(id_col: Column) -> Column:
     """Signed xxhash64 (seed 42) of a NON-NULL long id.  NULL ids must
     fail loudly: ``xxhash64(NULL)`` silently evaluates to the seed, which
     would collapse every null-id row into one bucket/shard/rank key — and
-    diverge from the SQL oracles, which propagate NULL instead."""
+    diverge from the SQL oracles, which propagate NULL instead.  The
+    check runs on the CAST value: on ANSI-off clusters a non-numeric
+    string id casts to NULL, which would otherwise slip past a pre-cast
+    null check and silently degenerate the whole assignment."""
+    as_long = id_col.cast("long")
     checked = F.when(
-        id_col.isNull(),
-        F.raise_error(F.lit("sampling: NULL id — hash assignment requires non-null ids")),
-    ).otherwise(id_col.cast("long"))
+        as_long.isNull(),
+        F.raise_error(
+            F.lit("sampling: NULL or non-numeric id — hash assignment "
+                  "requires ids that cast to a non-null long")
+        ),
+    ).otherwise(as_long)
     return F.xxhash64(checked)
 
 
@@ -61,6 +68,8 @@ def deterministic_split(
     [Σw[:i], Σw[:i+1]).  Pure narrow projection — no shuffle, no RNG."""
     if len(weights) != len(names):
         raise ValueError("deterministic_split: len(weights) != len(names)")
+    if any(w < 0 for w in weights):
+        raise ValueError("deterministic_split: weights must be non-negative")
     if sum(weights) != buckets:
         raise ValueError(
             f"deterministic_split: weights must sum to buckets ({buckets}), "
@@ -118,6 +127,12 @@ def mixture_sample(
     missing = sorted(g for g in counts if g not in weights)
     if missing:
         raise ValueError(f"mixture_sample: no weight for groups {missing}")
+    absent = sorted(g for g in weights if g not in counts)
+    if absent:
+        # a weighted group with zero rows makes the requested mixture
+        # unachievable — fail loudly rather than silently return a
+        # degenerate mixture dominated by whatever data exists
+        raise ValueError(f"mixture_sample: weighted groups absent from data: {absent}")
     # exact rational argmin (Fraction, not float division: two unequal
     # ratios near 2^53 can collide as doubles and pick the wrong binding
     # group, breaking keep_g <= n_g); the SQL oracle uses the matching
@@ -137,18 +152,14 @@ def mixture_sample(
 
 def word_ngrams(text_col: Column, n: int) -> Column:
     """Distinct lowercase word-``n``-gram array from a text column
-    (whitespace tokens, space-joined grams).  Guarded so texts shorter
-    than ``n`` tokens yield an empty array — and the guard matters:
-    Spark's ``sequence(1, 0)`` DESCENDS instead of being empty."""
+    (whitespace tokens, space-joined grams; ``n`` validated positive —
+    n=0 would emit a '' gram for every doc and poison the contamination
+    join).  The gram construction (including the sequence(1,0)-descends
+    guard) is the shared ``textstats.all_word_ngrams``."""
+    from ocr_auto_label_spark.operators.textstats import all_word_ngrams
+
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(all_word_ngrams(toks, n))
 
 
 def cross_split_contamination(

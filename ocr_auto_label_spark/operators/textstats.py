@@ -31,6 +31,23 @@ def word_tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+def all_word_ngrams(toks: Column, n: int) -> Column:
+    """All ``n``-gram strings (space-joined, WITH repeats) from a token
+    array.  Guarded so arrays shorter than ``n`` yield an empty array —
+    and the guard matters: Spark's ``sequence(1, 0)`` DESCENDS instead of
+    being empty.  Single definition shared by the span-duplication
+    signal and ``sampling.word_ngrams`` (which adds array_distinct)."""
+    if n <= 0:
+        raise ValueError("all_word_ngrams: n must be positive")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def dup_word_frac(toks: Column) -> Column:
     """Gopher duplicate-word fraction over a token-array column:
     1 − |distinct words| / |words| (narrow column math, no shuffle).
@@ -199,18 +216,10 @@ def duplicated_span_stats(
     Output: (id, n_spans, dup_spans, dup_span_frac) — one row per doc,
     zeros for docs shorter than ``span_tokens``.
     """
-    toks = word_tokens(F.col(text_col))
-    n = span_tokens
     spans = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            all_word_ngrams(word_tokens(F.col(text_col)), span_tokens)
         ).alias("span"),
     )
     per = spans.groupBy("id", "span").agg(F.count(F.lit(1)).alias("c"))

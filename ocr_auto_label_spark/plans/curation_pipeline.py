@@ -48,11 +48,18 @@ def quality_gates(
 ) -> DataFrame:
     """Narrow (shuffle-free) per-doc quality gates: heuristic quality
     score, minimum token count, Gopher duplicate-word-fraction cap.
-    All three are pure column expressions inside whole-stage codegen."""
+    All three are pure column expressions inside whole-stage codegen.
+
+    Empty/whitespace-only/NULL text counts as ZERO tokens here
+    (``split('')`` yields [''] i.e. size 1, so a bare token_count could
+    never reject blank docs even at min_tokens=1)."""
     c = F.col(text_col)
+    real_tokens = F.when(
+        c.isNull() | (F.trim(c) == ""), F.lit(0)
+    ).otherwise(token_count(c))
     return df.filter(
         (quality_score(c) >= min_quality)
-        & (token_count(c) >= min_tokens)
+        & (real_tokens >= min_tokens)
         & (dup_word_frac(word_tokens(c)) <= max_dup_word_frac)
     )
 
@@ -131,7 +138,14 @@ def curate_corpus(
         .parquet(curated_path)
     )
 
-    curated = spark.read.parquet(curated_path).select(id_col, text_col, "split")
+    # read-backs pin the writer's schema: a zero-row partitioned write
+    # leaves only _SUCCESS, and schema inference over that throws
+    # UNABLE_TO_INFER_SCHEMA — with an explicit schema an empty curated
+    # corpus flows through as an empty frame instead of crashing stage 2
+    curated = (
+        spark.read.schema(assigned.schema).parquet(curated_path)
+        .select(id_col, text_col, "split")
+    )
     report = cross_split_contamination(
         curated, id_col, text_col, "split", n=ngram_n, train_name=names[0]
     )
@@ -139,7 +153,7 @@ def curate_corpus(
     report.write.mode("overwrite").parquet(report_path)
 
     contam = (
-        spark.read.parquet(report_path)
+        spark.read.schema(report.schema).parquet(report_path)
         .agg(
             F.count(F.lit(1)).alias("eval_docs"),
             F.sum(F.when(F.col("n_contam") > 0, 1).otherwise(0)).alias(
@@ -154,15 +168,12 @@ def curate_corpus(
         from ocr_auto_label_spark.operators.packing import pack_sequences
 
         packs_path = f"{output_dir}/packs"
-        pack_sequences(
-            spark.read.parquet(curated_path).select(id_col, text_col, "split"),
-            pack_budget,
-            id_col,
-            text_col,
-            within_cols=["split"],
-        ).write.mode("overwrite").parquet(packs_path)
+        packed = pack_sequences(
+            curated, pack_budget, id_col, text_col, within_cols=["split"]
+        )
+        packed.write.mode("overwrite").parquet(packs_path)
         agg = (
-            spark.read.parquet(packs_path)
+            spark.read.schema(packed.schema).parquet(packs_path)
             .groupBy("split", "shard", "pack_id").count()
             .groupBy().agg(
                 F.count(F.lit(1)).alias("n_packs"),
@@ -172,18 +183,20 @@ def curate_corpus(
         )
         pack_stats = {
             "packs_path": packs_path,
-            "n_packs": agg["n_packs"],
-            "packed_docs": agg["n_docs"],
+            "n_packs": int(agg["n_packs"] or 0),
+            "packed_docs": int(agg["n_docs"] or 0),
         }
     stage1 = obs_dedup.get
+    # zero-row aggregates yield NULL sums — coerce every count so the
+    # JSON contract is always integers, never null
     return {
         **pack_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],
         "split_counts": {n: stage1[n] for n in names},
-        "eval_docs": contam["eval_docs"],
-        "contaminated_docs": contam["contaminated_docs"],
+        "eval_docs": int(contam["eval_docs"] or 0),
+        "contaminated_docs": int(contam["contaminated_docs"] or 0),
         "contaminated_grams": int(contam["contaminated_grams"] or 0),
         "curated_path": curated_path,
         "report_path": report_path,

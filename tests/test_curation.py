@@ -165,6 +165,24 @@ def test_curation_with_packing(spark, tmp_path):
         assert r.pack_id == r.start_offset // 512
 
 
+def test_curation_survives_empty_corpus(spark, tmp_path):
+    """Gates that reject every doc must yield a zeroed summary, not an
+    UNABLE_TO_INFER_SCHEMA crash on the zero-row curated read-back (the
+    schema-pinned read path)."""
+    out = str(tmp_path / "empty")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    summary = curate_corpus(
+        spark, docs, out, min_tokens=10_000, pack_budget=512
+    )
+    assert summary["rows_quality_pass"] == 0
+    assert summary["rows_after_dedup"] == 0
+    assert summary["eval_docs"] == 0
+    assert summary["contaminated_docs"] == 0
+    assert summary["contaminated_grams"] == 0
+    assert summary["n_packs"] == 0
+    assert summary["packed_docs"] == 0
+
+
 def test_exact_dedup_rows_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],

@@ -202,7 +202,7 @@ def test_null_id_fails_loudly(spark):
     df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id: long, text: string")
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as e:
         deterministic_split(df).collect()
-    assert "NULL id" in str(e.value)
+    assert "non-null long" in str(e.value)
 
 
 def test_split_refuses_column_collision(spark):
