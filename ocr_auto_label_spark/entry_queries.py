@@ -1097,10 +1097,51 @@ def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_auto_label_spark.operators.similarity import cosine_neardup_pairs
+    """Embedding near-dup suite, variant-normalized (variant, id_a, id_b,
+    cosine):
+
+    - ``label_blocked``: the given-blocking-key baseline (pairs ≥ 0.3
+      within a label block).
+    - ``semdedup_assign`` / ``semdedup_pair`` / ``semdedup_evict``: the
+      SemDeDup pipeline (Abbas et al. 2023) — deterministic-centroid
+      cluster assignment (id_a=vec_id, id_b=cluster, cosine=similarity to
+      the winning centroid), within-cluster pairs ≥ 0.3, and the
+      keep-lowest-id eviction set (id_a=cluster, id_b=evicted id).  The
+      DuckDB oracle recomputes the ENTIRE pipeline independently — the
+      centroid rule via the XXH64-in-SQL compiler, the argmax via a
+      ranking window, the pairs via ``list_cosine_similarity``."""
+    from ocr_auto_label_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semdedup,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3)
+    lbl = cosine_neardup_pairs(emb, block_cols=["label"], threshold=0.3).select(
+        F.lit("label_blocked").alias("variant"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+    a, p, e = semdedup(emb, n_centroids=16, threshold=0.3)
+    asg = a.select(
+        F.lit("semdedup_assign").alias("variant"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("sd_cluster").cast("long").alias("id_b"),
+        F.col("sd_cos").alias("cosine"),
+    )
+    pr = p.select(
+        F.lit("semdedup_pair").alias("variant"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+    ev = e.select(
+        F.lit("semdedup_evict").alias("variant"),
+        F.col("sd_cluster").cast("long").alias("id_a"),
+        F.col("id").cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return lbl.unionByName(asg).unionByName(pr).unionByName(ev)
 
 
 def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,13 +1787,60 @@ SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
-_DUCK_NEARDUP = """
-SELECT id_a, id_b, cosine FROM (
+def _embed_neardup_duck() -> str:
+    """Independent DuckDB replay of the near-dup suite, incl. the full
+    SemDeDup pipeline: centroids = 16 smallest signed xxhash64(vec_id)
+    (the XXH64-in-SQL compiler), assignment = ranking window over the
+    rounded cosine (Spark side: array_position-of-max — same winner, same
+    lowest-c_id tie-break), pairs/eviction as plain SQL."""
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        apply_stages,
+        to_signed,
+        xxh64_long8_stages,
+    )
+
+    hashed = apply_stages(
+        "SELECT vec_id FROM embeddings", xxh64_long8_stages("vec_id", "42")
+    )
+    return f"""
+WITH hv AS MATERIALIZED (
+  SELECT vec_id, {to_signed('__l8_u')} AS h FROM ({hashed})),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY hv.h, hv.vec_id) - 1 AS c_id,
+         CAST(e.embedding AS DOUBLE[]) AS c_vec
+  FROM hv JOIN embeddings e ON e.vec_id = hv.vec_id
+  ORDER BY hv.h, hv.vec_id LIMIT 16),
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, sd_cluster, sd_cos FROM (
+    SELECT e.vec_id, e.embedding, c.c_id AS sd_cluster,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) AS sd_cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) DESC,
+                      c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) q
+  WHERE rn = 1),
+spf AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT a.sd_cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM asg a JOIN asg b ON a.sd_cluster = b.sd_cluster AND a.vec_id < b.vec_id) sp
+  WHERE cosine >= 0.3)
+SELECT 'label_blocked' AS variant, id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) p
 WHERE cosine >= 0.3
+UNION ALL
+SELECT 'semdedup_assign' AS variant, vec_id AS id_a,
+       CAST(sd_cluster AS BIGINT) AS id_b, sd_cos AS cosine FROM asg
+UNION ALL
+SELECT 'semdedup_pair' AS variant, id_a, id_b, cosine FROM spf
+UNION ALL
+SELECT 'semdedup_evict' AS variant, CAST(sd_cluster AS BIGINT) AS id_a,
+       id_b, CAST(NULL AS DOUBLE) AS cosine
+FROM (SELECT DISTINCT sd_cluster, id_b FROM spf) ev
 """
 
 # name → (spark callable or shared SQL, duckdb oracle SQL or None).
@@ -2132,7 +2220,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "dedup_minhash_variants": (_dedup_minhash_variants, _dedup_minhash_duck),
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
-    "embed_neardup_pairs": (_embed_neardup, _DUCK_NEARDUP),
+    "embed_neardup_pairs": (_embed_neardup, _embed_neardup_duck()),
     "embed_ann_variants": (_embed_ann_variants, None),  # recall<1 by design
     # --- training-data ops: text analysis ---
     # long-normalized panel metrics + the unigram-NLL corpus-LM quality

@@ -101,6 +101,42 @@ def lsh_bucketed_topk(
     return brute_force_topk(bucket, query_vec, k, vec_col, id_col)
 
 
+def _pick_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample: the ``n_centroids``
+    vectors with the smallest ``xxhash64(id)`` (ties → smallest id).  No
+    RNG — the same centroids on every run and every cluster size, and the
+    rule is SQL-expressible (the DuckDB oracle recomputes it bit-exactly
+    via ``functions/xxh64_sql.xxh64_long8_stages``).  Bounded driver pull:
+    ``n_centroids`` rows."""
+    hashed = df.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+        F.xxhash64(F.col(id_col)).alias("h"),
+    )
+    rows = hashed.orderBy("h", "cid").limit(n_centroids).collect()
+    return [(i, [float(x) for x in r.cv]) for i, r in enumerate(rows)]
+
+
+def _centroid_struct_items(centroids: list[tuple[int, list[float]]]) -> str:
+    """Literal ``named_struct`` array items for a centroid table folded
+    into the plan (tiny k only — a large k belongs in a broadcast join)."""
+    import math
+
+    return ", ".join(
+        "named_struct('c_id', {i}, 'c_vec', array({vals}), 'c_norm', cast({n!r} as double))"
+        .format(
+            i=i,
+            vals=", ".join(f"cast({x!r} as double)" for x in v),
+            n=math.sqrt(sum(x * x for x in v)),
+        )
+        for i, v in centroids
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -118,27 +154,12 @@ def ivf_assign(
     assignment is the only full-data pass and partitioning the output by
     ``ivf_cluster`` makes every probe a partition-pruned scan.
     """
-    import math
-
-    hashed = df.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-        F.xxhash64(F.col(id_col)).alias("h"),
-    )
-    rows = hashed.orderBy("h", "cid").limit(n_centroids).collect()
-    centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(rows)]
+    centroids = _pick_centroids(df, n_centroids, vec_col, id_col)
     # assignment is purely per-row, so fold the (tiny) centroid table into
     # the plan as a literal array and argmax with one narrow expression —
     # a cross join + ranking window would multiply the data n_centroids×
     # and shuffle it all just to keep one row per id
-    cent_items = ", ".join(
-        "named_struct('c_id', {i}, 'c_vec', array({vals}), 'c_norm', cast({n!r} as double))"
-        .format(
-            i=i,
-            vals=", ".join(f"cast({x!r} as double)" for x in v),
-            n=math.sqrt(sum(x * x for x in v)),
-        )
-        for i, v in centroids
-    )
+    cent_items = _centroid_struct_items(centroids)
     # strict > keeps the first (lowest c_id) on score ties — deterministic;
     # the epsilon keeps zero vectors at score 0 instead of NaN
     best = (
@@ -227,6 +248,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_block_cols: bool = False,
 ) -> DataFrame:
     """Blocked pairwise cosine near-dups: (id_a, id_b, cosine ≥ threshold).
 
@@ -237,33 +259,136 @@ def cosine_neardup_pairs(
     # the probe side's partitioning — so spread the probe, not the pairs
     # (repartitioning pairs would shuffle two vectors per pair).  Hot
     # blocks under a shuffle join are AQE skew-join territory.
+    # per-row norms are computed ONCE before the join (each row joins into
+    # ~cluster_size pairs — recomputing both norms per pair triples the
+    # fold work); sqrt(agg(va))*sqrt(agg(vb)) is the exact same float
+    # product either way, so results are bit-identical
     base = ensure_parallelism(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        F.expr(
+            f"sqrt(aggregate({vec_col}, 0D, (s, v) -> s + cast(v as double) * v))"
+        ).alias("n"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    kept = [F.col(f"a.{c}").alias(c) for c in block_cols] if keep_block_cols else []
     pairs = (
         a.join(b, cond)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
+            *kept,
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
     )
     cos = F.round(
         F.expr(
             "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v)"
-            " / (sqrt(aggregate(va, 0D, (s, v) -> s + cast(v as double) * v))"
-            " * sqrt(aggregate(vb, 0D, (s, v) -> s + cast(v as double) * v)))"
+            " / (na * nb)"
         ),
         6,
     )
     return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select(*block_cols, "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        if keep_block_cols
+        else pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup stage 1 (Abbas et al. 2023, arXiv:2303.09540): cluster
+    every embedding to its nearest centroid.
+
+    Centroids come from the deterministic xxhash64 sample
+    (``_pick_centroids``); assignment is argmax cosine over the literal
+    centroid array — a single narrow pass, zero shuffles, O(k) work per
+    row.  The score is ROUNDED to ``round_digits`` before the argmax so
+    the winner is stable across engines/accumulation orders (the DuckDB
+    oracle replays the argmax on ``round(list_cosine_similarity(..), 6)``);
+    ties break to the lowest centroid id via first-match ``array_position``.
+
+    Returns the input plus ``sd_cluster`` (int) and ``sd_cos`` (double,
+    rounded similarity to the winning centroid).  At corpus scale pick
+    k ≈ n/target_cluster_size; beyond a few hundred centroids move the
+    argmax from the literal fold to a broadcast join + partial-agg
+    ``max_by`` (same semantics, same single data pass).
+    """
+    centroids = _pick_centroids(df, n_centroids, vec_col, id_col)
+    cent_items = _centroid_struct_items(centroids)
+    # scores array via transform (one dot per centroid), then argmax =
+    # array_position-of-max: first occurrence wins → lowest c_id on ties,
+    # and no operand duplication in the expression tree (an accumulate-if
+    # fold would inline the dot twice and stall codegen at larger k)
+    scores = (
+        f"transform(array({cent_items}), c -> "
+        f"round(aggregate(zip_with({vec_col}, c.c_vec, (x, y) -> cast(x as double) * y),"
+        f" 0D, (s, v) -> s + v) / (__sd_vn * c.c_norm), {round_digits}))"
+    )
+    return (
+        ensure_parallelism(df)
+        .withColumn("__sd_vn", norm(vec_col))
+        .withColumn("__sd_scores", F.expr(scores))
+        .withColumn("sd_cos", F.expr("array_max(__sd_scores)"))
+        .withColumn(
+            "sd_cluster",
+            F.expr("cast(array_position(__sd_scores, sd_cos) - 1 as int)"),
+        )
+        .drop("__sd_vn", "__sd_scores")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Semantic dedup, SemDeDup-shaped: cluster → within-cluster cosine
+    pairs ≥ ``threshold`` → deterministic keep-lowest-id eviction.
+
+    Returns ``(assign, pairs, evicted)``:
+
+    - ``assign``: (id, sd_cluster, sd_cos) — every row's cluster.
+    - ``pairs``: (sd_cluster, id_a, id_b, cosine) with id_a < id_b and
+      cosine ≥ threshold, computed ONLY within a cluster (the blocking
+      that makes semantic dedup sub-quadratic: k ≈ n/target_size bounds
+      cluster sizes, so pair work is O(n · cluster_size), not O(n²)).
+    - ``evicted``: distinct (sd_cluster, id) where id loses at least one
+      pair — the pairwise keep-lowest-id policy (equal to the paper's
+      one-per-ε-neighbourhood rule when ε-graphs are cliques, which high
+      thresholds make near-universal; deterministic either way).
+
+    All three share one assignment subtree; the pair stage is a blocked
+    equi-join on ``sd_cluster`` (with tiny fixed k the join key is
+    low-cardinality — at corpus scale k grows with n, restoring key
+    cardinality; AQE skew-join covers hot clusters either way).
+    """
+    assigned = semdedup_assign(df, n_centroids, vec_col, id_col)
+    assign = assigned.select(
+        F.col(id_col), F.col("sd_cluster"), F.col("sd_cos")
+    )
+    pairs = cosine_neardup_pairs(
+        assigned,
+        block_cols=["sd_cluster"],
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        keep_block_cols=True,
+    )
+    evicted = pairs.select("sd_cluster", F.col("id_b").alias("id")).distinct()
+    return assign, pairs, evicted
 
 
 def pq_train(
