@@ -1109,9 +1109,17 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       keep-lowest-id eviction set (id_a=cluster, id_b=evicted id).  The
       DuckDB oracle recomputes the ENTIRE pipeline independently — the
       centroid rule via the XXH64-in-SQL compiler, the argmax via a
-      ranking window, the pairs via ``list_cosine_similarity``."""
+      ranking window, the pairs via ``list_cosine_similarity``.
+    - ``lsh_signature``: every vector's derived-hyperplane LSH bucket
+      (id_a=vec_id, id_b=signature) — certifies the ANN blocking key
+      driver-side: the oracle regenerates the ±1 plane weights from the
+      XXH64 spec in Python (``xxh64_int4_py``, the Spark IntegerType
+      chain) and replays the exact left-to-right sign fold in SQL, so
+      the hash family behind ``lsh_topk``/``lsh_blocked_neardup`` is
+      value-checked even though top-k recall keeps those rows-only."""
     from ocr_auto_label_spark.operators.similarity import (
         cosine_neardup_pairs,
+        hyperplane_signature,
         semdedup,
     )
 
@@ -1141,7 +1149,16 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("cosine"),
     )
-    return lbl.unionByName(asg).unionByName(pr).unionByName(ev)
+    sig = emb.select(
+        F.lit("lsh_signature").alias("variant"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        hyperplane_signature("embedding", bits=6).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return (
+        lbl.unionByName(asg).unionByName(pr).unionByName(ev)
+        .unionByName(sig)
+    )
 
 
 def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,12 +1813,36 @@ def _embed_neardup_duck() -> str:
     from ocr_auto_label_spark.functions.xxh64_sql import (
         apply_stages,
         to_signed,
+        xxh64_int4_py,
         xxh64_long8_stages,
     )
 
     hashed = apply_stages(
         "SELECT vec_id FROM embeddings", xxh64_long8_stages("vec_id", "42")
     )
+    # the ±1 hyperplane weights are data-independent — generate them here
+    # from the XXH64 spec (the same (dim, plane) IntegerType chain Spark's
+    # hyperplane_signature derives them from) and fold them into the query
+    # as literals; the sign fold replays Spark's left-to-right double
+    # accumulation exactly (list_prepend-seeded list_reduce), so the
+    # bucket ids are bit-equal, not merely approximately equal
+    bits, dim = 6, 64
+    sig_terms = []
+    for p in range(bits):
+        w = [
+            "1.0" if (xxh64_int4_py(p, xxh64_int4_py(i, 42)) >> 1) & 1 else "-1.0"
+            for i in range(dim)
+        ]
+        prods = (
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ([{', '.join(w)}])[j])"
+        )
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), "
+            "(a, b) -> a + b)"
+        )
+        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    sig_expr = " + ".join(sig_terms)
     return f"""
 WITH hv AS MATERIALIZED (
   SELECT vec_id, {to_signed('__l8_u')} AS h FROM ({hashed})),
@@ -1841,6 +1882,10 @@ UNION ALL
 SELECT 'semdedup_evict' AS variant, CAST(sd_cluster AS BIGINT) AS id_a,
        id_b, CAST(NULL AS DOUBLE) AS cosine
 FROM (SELECT DISTINCT sd_cluster, id_b FROM spf) ev
+UNION ALL
+SELECT 'lsh_signature' AS variant, vec_id AS id_a,
+       CAST({sig_expr} AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine
+FROM embeddings
 """
 
 # name → (spark callable or shared SQL, duckdb oracle SQL or None).

@@ -227,6 +227,24 @@ def xxh64_int4_u(i: str, seed: str) -> str:
     return avalanche(acc)
 
 
+def xxh64_int4_py(i: int, seed: int) -> int:
+    """Pure-Python twin of :func:`xxh64_int4_u` (XXH64 of the 4-byte LE
+    int, the path Spark uses for IntegerType children) — for oracle
+    GENERATORS that need hash values at SQL-build time (e.g. folding the
+    derived LSH hyperplane weights into a static oracle query)."""
+    m = (1 << 64) - 1
+    p1, p2, p3, p5 = int(P1), int(P2), int(P3), int(P5)
+    acc = (seed + p5 + 4) & m
+    acc ^= (i * p1) & m
+    acc = (((acc << 23 | acc >> 41) & m) * p2 + p3) & m
+    acc ^= acc >> 33
+    acc = (acc * p2) & m
+    acc ^= acc >> 29
+    acc = (acc * p3) & m
+    acc ^= acc >> 32
+    return acc
+
+
 def to_signed(h: str) -> str:
     """Unsigned [0, 2^64) → Spark's signed BIGINT rendering."""
     return (
