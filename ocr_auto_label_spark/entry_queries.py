@@ -741,6 +741,29 @@ def _full_pipeline_e1_duck() -> str:
     return full_pipeline_e1_duck_sql(flagship_twin_sql("duck", rp), rp)
 
 
+def _main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction via DOM-density heuristics (Boilerpipe /
+    jusText-lite: markup density, text length, separator density — see
+    functions/maincontent_sql.py) over the pinned 2 000-turn transcript
+    corpus.  Pure higher-order column expressions — whole-stage codegen,
+    zero Python; the classifier complements the flagship's ordered-regex
+    normalizer (labelcore/boilerplate.py, the generalization of
+    gemini.ts:223-231)."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.maincontent_sql import main_content_sql
+
+    path = transcripts_parquet(2_000)
+    return spark.sql(main_content_sql("spark", f"parquet.`{path}`"))
+
+
+def _main_content_duck() -> str:
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.maincontent_sql import main_content_sql
+
+    path = transcripts_parquet(2_000)
+    return main_content_sql("duck", f"read_parquet('{path}/*.parquet')")
+
+
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.range_join import time_range_self_join
 
@@ -2181,19 +2204,33 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
         "SELECT regexp_extract(concat(lang, '_', CAST(doc_id AS STRING)), '^([^_]+)_', 1) "
         "AS grp_key, count(*) AS cnt FROM documents GROUP BY 1) q2",
     ),
-    # X14 fence-strip+parse AND the X13 plain-JSON path, same agg
+    # X14 fence-strip+parse, the X13 plain-JSON path, AND the X16
+    # timestamp formats — merged to one variant union (same events scan)
+    # to free a window slot for main_content_extract
     "x14_fence_strip_json": (
         # gemini.ts:223-257: strip ```json fences, then parse
-        "SELECT event_type, round(avg(CAST(get_json_object(regexp_replace("
+        "SELECT 'json_k' AS variant, event_type AS k, CAST(NULL AS STRING) AS v_str, "
+        "round(avg(CAST(get_json_object(regexp_replace("
         "concat('```json', chr(10), props, chr(10), '```'), "
-        "'^```json\\\\s*|\\\\s*```$', ''), '$.k') AS INT)), 4) AS avg_k_fenced, "
-        "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k_plain "
-        "FROM events GROUP BY event_type",
-        "SELECT event_type, round(avg(CAST(json_extract_string(regexp_replace("
+        "'^```json\\\\s*|\\\\s*```$', ''), '$.k') AS INT)), 4) AS v_fenced, "
+        "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS v_plain, "
+        "CAST(NULL AS BIGINT) AS cnt FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'date_fmt' AS variant, date_format(ts, 'yyyy-MM-dd') AS k, "
+        "date_format(min(ts), 'MM-dd-yy HH:mm:ss') AS v_str, "
+        "CAST(NULL AS DOUBLE) AS v_fenced, CAST(NULL AS DOUBLE) AS v_plain, "
+        "count(*) AS cnt FROM events GROUP BY 2",
+        "SELECT 'json_k' AS variant, event_type AS k, CAST(NULL AS VARCHAR) AS v_str, "
+        "round(avg(CAST(json_extract_string(regexp_replace("
         "concat('```json', chr(10), props, chr(10), '```'), "
-        "'^```json\\s*|\\s*```$', '', 'g'), '$.k') AS INT)), 4) AS avg_k_fenced, "
-        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k_plain "
-        "FROM events GROUP BY event_type",
+        "'^```json\\s*|\\s*```$', '', 'g'), '$.k') AS INT)), 4) AS v_fenced, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS v_plain, "
+        "CAST(NULL AS BIGINT) AS cnt FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'date_fmt' AS variant, strftime(ts, '%Y-%m-%d') AS k, "
+        "strftime(min(ts), '%m-%d-%y %H:%M:%S') AS v_str, "
+        "CAST(NULL AS DOUBLE) AS v_fenced, CAST(NULL AS DOUBLE) AS v_plain, "
+        "count(*) AS cnt FROM events GROUP BY 2",
     ),
     # X15 CSV field shaping + X6 dual extension rules, one documents scan
     "x15_x6_field_shaping": (
@@ -2222,14 +2259,13 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     ),
     # X16 ISO day bucket + the MM-DD-YY display variant
     # (.cursor/implementation-plan.mdc:108-110)
-    "x16_date_format_agg": (
-        "SELECT date_format(ts, 'yyyy-MM-dd') AS day, "
-        "date_format(min(ts), 'MM-dd-yy HH:mm:ss') AS first_ts_display, "
-        "count(*) AS cnt FROM events GROUP BY 1",
-        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
-        "strftime(min(ts), '%m-%d-%y %H:%M:%S') AS first_ts_display, "
-        "count(*) AS cnt FROM events GROUP BY 1",
-    ),
+    # Density-based main-content extraction (the north rule's "DOM
+    # heuristics" leg): per-line Boilerpipe/jusText-style classifier over
+    # the pinned transcript corpus — markup density + text length +
+    # separator density, all integer arithmetic, kept text hash-compared
+    # verbatim against the DuckDB dialect of the same generator
+    # (functions/maincontent_sql.py)
+    "main_content_extract": (_main_content_spark, _main_content_duck),
     # --- sorts / top-k / pagination (O1 top-k + offset, O2 multi-field
     # sort — merged to one variant union to free a window slot) ---
     "o1_o2_sort_paginate": (
