@@ -511,15 +511,63 @@ def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_profile(synth_media(spark, n=120))
 
 
+def _layout_fixture_sql(dialect: str) -> str:
+    """Deterministic layout-block fixture from the documents table, one
+    SELECT per dialect with IDENTICAL semantics: each doc gets
+    ``doc_id % 3 + 1`` pages, each page four typed geometry blocks — a
+    running header, two columns of content (text windows shifted per
+    page), and a constant footer.  Headers/footers recur at the same
+    (text, y-band) across pages, which is exactly what the chrome rule
+    detects on multi-page docs."""
+    if dialect == "spark":
+        pages = (
+            "SELECT doc_id, lang, text, page FROM documents "
+            "LATERAL VIEW explode(sequence(1, CAST(doc_id % 3 + 1 AS INT))) t AS page"
+        )
+    else:
+        pages = (
+            "SELECT doc_id, lang, text, CAST(unnest(range(1, "
+            "CAST(doc_id % 3 + 2 AS BIGINT))) AS INT) AS page FROM documents"
+        )
+    return f"""
+SELECT doc_id, page, b.block_id,
+  CASE b.block_id WHEN 0 THEN 50 WHEN 1 THEN 40 WHEN 2 THEN 520 ELSE 400 END AS x,
+  CASE b.block_id WHEN 0 THEN 10 WHEN 1 THEN CAST(100 + (doc_id % 7) * 10 AS INT)
+       WHEN 2 THEN 120 ELSE 950 END AS y,
+  CASE b.block_id WHEN 0 THEN 900 WHEN 3 THEN 200 ELSE 440 END AS w,
+  CASE b.block_id WHEN 0 THEN 20 WHEN 3 THEN 15 ELSE 300 END AS h,
+  CASE b.block_id WHEN 0 THEN concat('CONFIDENTIAL ', lang)
+       WHEN 1 THEN substr(text, 1 + (page - 1) * 17, 40)
+       WHEN 2 THEN substr(text, 1 + (page - 1) * 29, 40)
+       ELSE 'generated by layout parser' END AS text
+FROM ({pages}) p
+CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(block_id)
+"""
+
+
 def _multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic half of the multimodal surface under the driver
-    oracle (VERDICT r2 #4): the REAL ``resize_metadata`` operator
-    (gemini.ts:26-31 resize-if-large planning as pure column math) over a
-    media-shaped frame synthesized from documents — typed meta struct +
-    an actual binary payload whose length feeds the >4MB rule.  Codec
-    features stay in the rows-only ``multimodal_profile`` (decode is
-    environment-blocked for image/video)."""
-    from ocr_auto_label_spark.operators.multimodal import resize_metadata
+    """The deterministic planning half of the multimodal/document
+    surface under the driver oracle, two variants:
+
+    - ``resize`` (VERDICT r2 #4): the REAL ``resize_metadata`` operator
+      (gemini.ts:26-31 resize-if-large planning as pure column math)
+      over a media-shaped frame synthesized from documents — typed meta
+      struct + an actual binary payload whose length feeds the >4MB
+      rule.  Codec features stay in the rows-only ``multimodal_profile``
+      (decode is environment-blocked for image/video).
+    - ``layout`` (the north rule's "PDF/layout parse" leg): the REAL
+      ``layout_reading_order`` operator — running header/footer removal
+      by (text, y-band) recurrence across pages + XY-cut-lite
+      multi-column reading order — over the deterministic block-geometry
+      fixture; the DuckDB oracle replays fixture AND analysis in SQL.
+
+    Normalized to (variant, k, v1, v2, v3): resize → (media_id,
+    needs_resize, target_w, target_h); layout → (doc*1000 + page*10 +
+    block, is_chrome, ord|NULL, page)."""
+    from ocr_auto_label_spark.operators.multimodal import (
+        layout_reading_order,
+        resize_metadata,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
@@ -532,19 +580,60 @@ def _multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("jpeg").alias("codec"),
         ).alias("meta"),
     )
-    return resize_metadata(media)
+    resize = resize_metadata(media).select(
+        F.lit("resize").alias("variant"),
+        F.col("media_id").cast("long").alias("k"),
+        F.col("needs_resize").cast("long").alias("v1"),
+        F.col("target_width").cast("long").alias("v2"),
+        F.col("target_height").cast("long").alias("v3"),
+    )
+    docs.createOrReplaceTempView("__layout_docs")
+    blocks = spark.sql(
+        _layout_fixture_sql("spark").replace("FROM documents", "FROM __layout_docs")
+    )
+    layout = layout_reading_order(blocks).select(
+        F.lit("layout").alias("variant"),
+        (F.col("doc_id") * 1000 + F.col("page") * 10 + F.col("block_id"))
+        .cast("long").alias("k"),
+        F.col("is_chrome").cast("long").alias("v1"),
+        F.col("ord").cast("long").alias("v2"),
+        F.col("page").cast("long").alias("v3"),
+    )
+    return resize.unionByName(layout)
 
 
-_DUCK_RESIZE_PLAN = """
+def _resize_layout_duck() -> str:
+    fixture = _layout_fixture_sql("duck")
+    return f"""
 WITH m AS (SELECT doc_id AS media_id,
   CAST(64 + (doc_id * 37) % 3000 AS INT) AS w,
   CAST(64 + (doc_id * 53) % 2000 AS INT) AS h,
-  CAST(doc_id % 50 + 1 AS INT) AS plen FROM documents)
-SELECT media_id,
-  CAST((plen > 4194304 OR greatest(w, h) > 1024) AS INT) AS needs_resize,
-  CAST(round(w * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS target_width,
-  CAST(round(h * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS target_height
+  CAST(doc_id % 50 + 1 AS INT) AS plen FROM documents),
+blocks AS MATERIALIZED ({fixture}),
+marked AS MATERIALIZED (
+  SELECT bl.*, bl.y // 50 AS yband,
+         CASE WHEN ch.doc_id IS NULL THEN 0 ELSE 1 END AS is_chrome
+  FROM blocks bl LEFT JOIN (
+    SELECT doc_id, text, y // 50 AS yband FROM blocks
+    GROUP BY 1, 2, 3 HAVING count(DISTINCT page) >= 2) ch
+  ON bl.doc_id = ch.doc_id AND bl.text = ch.text AND bl.y // 50 = ch.yband),
+ranked AS (
+  SELECT doc_id, page, block_id, is_chrome,
+         row_number() OVER (PARTITION BY doc_id, is_chrome
+           ORDER BY page, x // 500, y, x, block_id) AS rn
+  FROM marked)
+SELECT 'resize' AS variant, CAST(media_id AS BIGINT) AS k,
+  CAST((plen > 4194304 OR greatest(w, h) > 1024) AS BIGINT) AS v1,
+  CAST(round(w * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT) AS v2,
+  CAST(round(h * least(1.0, 1024 / CAST(greatest(w, h) AS DOUBLE))) AS BIGINT) AS v3
 FROM m
+UNION ALL
+SELECT 'layout' AS variant,
+  CAST(doc_id * 1000 + page * 10 + block_id AS BIGINT) AS k,
+  CAST(is_chrome AS BIGINT) AS v1,
+  CAST(CASE WHEN is_chrome = 0 THEN rn END AS BIGINT) AS v2,
+  CAST(page AS BIGINT) AS v3
+FROM ranked
 """
 
 
@@ -2311,7 +2400,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
     "multimodal_profile": (_multimodal_profile, None),
     # deterministic half (resize planning over typed meta): oracle-backed
-    "multimodal_resize_plan": (_multimodal_resize_plan, _DUCK_RESIZE_PLAN),
+    # deterministic planning half (resize rule + PDF/layout-parse leg:
+    # reading order + running header/footer removal): oracle-backed
+    "multimodal_resize_plan": (_multimodal_resize_plan, _resize_layout_duck()),
 }
 
 

@@ -327,3 +327,59 @@ def resize_metadata(df: DataFrame, max_side: int = 1024) -> DataFrame:
         F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
         F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
     )
+
+
+def layout_reading_order(
+    df: DataFrame,
+    col_width: int = 500,
+    band_px: int = 50,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Document layout analysis over typed block geometry — the
+    "PDF/layout parse" leg of main-content extraction, no decoder needed
+    (layout-parsed documents arrive as block tables: the parse itself is
+    environment-blocked like the image codecs, but everything downstream
+    of it — the part that runs at corpus scale — is real and tested).
+
+    Input: one row per block with ``doc_id, page, block_id, x, y, w, h,
+    text``.  Two classic steps, all integer arithmetic:
+
+    1. **Running header/footer removal**: a block whose exact text
+       recurs in the same vertical band (``y div band_px``) on
+       ``min_pages``+ distinct pages of a document is chrome (the
+       repeated-element rule used by PDF text extractors).
+    2. **Reading order (XY-cut-lite)**: content blocks are ordered by
+       ``(page, x div col_width, y, x, block_id)`` — page, then column,
+       then top-to-bottom — the multi-column reading sequence.
+
+    Output: every input block with ``is_chrome`` (0/1) and ``ord``
+    (1-based reading position among content blocks per doc; NULL for
+    chrome).  Scale shape: one partial-aggregated groupBy over
+    (doc, text, band), one equi-join back, one per-doc window — block
+    counts are bounded per document, so no skew leg is needed.
+    """
+    yband = (F.col("y") / band_px).cast("int")
+    chrome = (
+        df.groupBy("doc_id", "text", yband.alias("yband"))
+        .agg(F.countDistinct("page").alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+        .select("doc_id", "text", "yband", F.lit(1).alias("is_chrome"))
+    )
+    marked = (
+        df.withColumn("yband", yband)
+        .join(chrome, ["doc_id", "text", "yband"], "left")
+        .withColumn("is_chrome", F.coalesce(F.col("is_chrome"), F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    return marked.select(
+        "doc_id", "page", "block_id", "is_chrome",
+        F.when(
+            F.col("is_chrome") == 0,
+            F.row_number().over(
+                Window.partitionBy("doc_id", "is_chrome").orderBy(
+                    "page", (F.col("x") / col_width).cast("int"), "y", "x", "block_id"
+                )
+            ),
+        ).alias("ord"),
+    )
