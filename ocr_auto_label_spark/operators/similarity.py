@@ -325,6 +325,8 @@ def semdedup_assign(
     ``max_by`` (same semantics, same single data pass).
     """
     centroids = _pick_centroids(df, n_centroids, vec_col, id_col)
+    if not centroids:
+        raise ValueError("semdedup_assign: input has no vectors to sample centroids from")
     cent_items = _centroid_struct_items(centroids)
     # scores array via transform (one dot per centroid), then argmax =
     # array_position-of-max: first occurrence wins → lowest c_id on ties,

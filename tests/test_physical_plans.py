@@ -178,14 +178,40 @@ def test_token_scan_plan_prunes_and_stays_jvm_side(spark):
 
 
 def test_resize_plan_is_narrow(spark):
-    """multimodal_resize_plan: metadata-only planning — no Exchange, no
-    Python; one narrow pass over the scan."""
+    """The resize half of multimodal_resize_plan: metadata-only planning
+    — no Exchange, no Python; one narrow pass over the scan.  (The
+    entry's layout half legitimately aggregates/joins/windows — asserted
+    separately below.)"""
+    from ocr_auto_label_spark.operators.multimodal import resize_metadata
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("cast(repeat('x', cast(doc_id % 50 + 1 as int)) as binary)").alias("payload"),
+        F.struct(
+            (F.lit(64) + (F.col("doc_id") * 37) % 3000).cast("int").alias("width"),
+            (F.lit(64) + (F.col("doc_id") * 53) % 2000).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+            F.lit("jpeg").alias("codec"),
+        ).alias("meta"),
+    )
+    plan = _plan(resize_metadata(media))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_layout_plan_shape(spark):
+    """The layout half: exactly the expected wide steps (one aggregate
+    for the chrome rule, one join back, one window) and zero Python —
+    block counts are bounded per doc, so this is the plan you'd run at
+    corpus scale."""
     from ocr_auto_label_spark.entry_queries import build_queries
 
     df = build_queries()["multimodal_resize_plan"](spark, SF_DIR)
     plan = _plan(df)
-    assert "Exchange" not in plan
     assert "Python" not in plan
+    assert "Window" in plan and "Join" in plan
 
 
 def test_salted_repartition_balances_hot_conversation(spark):
