@@ -38,6 +38,12 @@ def main() -> None:
     p.add_argument("--pack-budget", type=int, default=0,
                    help="also write the sequence-packing assignment "
                         "(packs never cross split boundaries); 0 = off")
+    p.add_argument("--semdedup-embeddings", default=None,
+                   help="embeddings parquet keyed by vec_id matching the "
+                        "corpus ids; enables the SemDeDup semantic-dedup "
+                        "stage between exact dedup and the split")
+    p.add_argument("--semdedup-threshold", type=float, default=0.95)
+    p.add_argument("--semdedup-centroids", type=int, default=16)
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -54,6 +60,12 @@ def main() -> None:
             max_dup_word_frac=args.max_dup_word_frac,
             ngram_n=args.ngram_n,
             pack_budget=args.pack_budget,
+            embeddings=(
+                spark.read.parquet(args.semdedup_embeddings)
+                if args.semdedup_embeddings else None
+            ),
+            semdedup_centroids=args.semdedup_centroids,
+            semdedup_threshold=args.semdedup_threshold,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

@@ -92,6 +92,10 @@ def curate_corpus(
     weights: tuple[int, ...] = (80, 10, 10),
     names: tuple[str, ...] = ("train", "val", "test"),
     pack_budget: int = 0,
+    embeddings: DataFrame | None = None,
+    semdedup_centroids: int = 16,
+    semdedup_threshold: float = 0.95,
+    vec_id_col: str = "vec_id",
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -100,9 +104,14 @@ def curate_corpus(
     id, n_grams, n_contam).  With ``pack_budget > 0`` also writes
     ``{output_dir}/packs``: the sequence-packing assignment
     (``pack_sequences`` with ``within_cols=["split"]`` — packs never
-    cross split boundaries).  Deterministic end-to-end: gates and hashes
-    are pure functions of the text/id, so re-running produces the same
-    bytes for the same input.
+    cross split boundaries).  With ``embeddings`` (a frame keyed by
+    ``vec_id_col`` matching the corpus ids), a SEMANTIC dedup stage runs
+    between exact dedup and the split: ``operators.similarity.semdedup``
+    eviction ids are anti-joined out, so near-meaning duplicates never
+    consume split slots; the summary gains ``semantic_evicted_ids`` (the
+    eviction-list size — actual drops show up in the split counts).
+    Deterministic end-to-end: gates and hashes are pure functions of the
+    text/id, so re-running produces the same bytes for the same input.
     """
     obs_in = Observation("curate_in")
     obs_gated = Observation("curate_gated")
@@ -116,6 +125,23 @@ def curate_corpus(
         max_dup_word_frac=max_dup_word_frac,
     ).observe(obs_gated, F.count(F.lit(1)).alias("rows"))
     deduped = exact_dedup_rows(gated, text_col, id_col)
+    sem_stats = {}
+    if embeddings is not None:
+        from ocr_auto_label_spark.operators.similarity import semdedup
+
+        _, _, evicted = semdedup(
+            embeddings,
+            n_centroids=semdedup_centroids,
+            threshold=semdedup_threshold,
+            id_col=vec_id_col,
+        )
+        evict_ids = evicted.select(F.col("id").alias(id_col))
+        # no explicit broadcast hint: the eviction list is usually much
+        # smaller than the corpus, but at aggressive thresholds it can be
+        # a large fraction of it — AQE picks broadcast vs shuffle from
+        # the measured size (the unigram_nll lesson, ADVICE r3)
+        sem_stats = {"semantic_evicted_ids": evict_ids.count()}
+        deduped = deduped.join(evict_ids, id_col, "left_anti")
     assigned = deterministic_split(
         deduped, id_col, weights, names
     ).observe(
@@ -191,6 +217,7 @@ def curate_corpus(
     # JSON contract is always integers, never null
     return {
         **pack_stats,
+        **sem_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],

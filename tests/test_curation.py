@@ -219,3 +219,30 @@ def test_quality_gates_are_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_with_semantic_dedup(spark, tmp_path):
+    """The optional SemDeDup stage: curated output equals the
+    no-semdedup output minus exactly the Python-twin eviction ids, and
+    the summary reports the eviction-list size."""
+    from test_semdedup import _py_semdedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    base = curate_corpus(spark, docs, str(tmp_path / "plain"), **GATES)
+    sem = curate_corpus(
+        spark, docs, str(tmp_path / "sem"), **GATES,
+        embeddings=emb, semdedup_centroids=16, semdedup_threshold=0.3,
+    )
+
+    _, _, want_evict = _py_semdedup(emb.collect())
+    evict_ids = {doc for _, doc in want_evict}
+    assert sem["semantic_evicted_ids"] == len(evict_ids)
+
+    base_ids = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "plain/curated")).collect()}
+    sem_ids = {r.doc_id for r in
+               spark.read.parquet(str(tmp_path / "sem/curated")).collect()}
+    assert sem_ids == base_ids - evict_ids
+    assert len(sem_ids) < len(base_ids)  # the stage actually fired
