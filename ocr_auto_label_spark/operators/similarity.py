@@ -320,9 +320,9 @@ def semdedup_assign(
 
     Returns the input plus ``sd_cluster`` (int) and ``sd_cos`` (double,
     rounded similarity to the winning centroid).  At corpus scale pick
-    k ≈ n/target_cluster_size; beyond a few hundred centroids move the
-    argmax from the literal fold to a broadcast join + partial-agg
-    ``max_by`` (same semantics, same single data pass).
+    k ≈ n/target_cluster_size; beyond a few hundred centroids use
+    :func:`semdedup_assign_joined` — the broadcast-join + partial-agg
+    form, pytest-asserted byte-identical to this one.
     """
     centroids = _pick_centroids(df, n_centroids, vec_col, id_col)
     if not centroids:
@@ -347,6 +347,62 @@ def semdedup_assign(
             F.expr("cast(array_position(__sd_scores, sd_cos) - 1 as int)"),
         )
         .drop("__sd_vn", "__sd_scores")
+    )
+
+
+def semdedup_assign_joined(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The large-k form of :func:`semdedup_assign` (same centroid rule,
+    same rounded-argmax semantics — asserted equivalent in pytest):
+    instead of folding the centroid table into one literal expression
+    (codegen-friendly only up to ~a few hundred centroids), broadcast it
+    as a real k-row frame and take ``max(struct(score, -c_id))`` per id
+    — partial aggregation collapses each row's k candidates map-side, so
+    the single shuffle carries one row per input row regardless of k.
+    Struct ordering is lexicographic: max score first, then max(-c_id) =
+    lowest centroid id on exact rounded ties — identical tie-break to
+    the first-match ``array_position``.  Returns (id, sd_cluster,
+    sd_cos) only; join back to the corpus for the full row."""
+    import math
+
+    centroids = _pick_centroids(df, n_centroids, vec_col, id_col)
+    if not centroids:
+        raise ValueError("semdedup_assign_joined: input has no vectors")
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, v, math.sqrt(sum(x * x for x in v))) for i, v in centroids],
+        "c_id int, c_vec array<double>, c_norm double",
+    )
+    scored = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(vec_col).alias("v"))
+        .withColumn("__vn", norm("v"))
+        .join(F.broadcast(cent))
+        .select(
+            id_col,
+            "c_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, c_vec, (x, y) -> cast(x as double) * y),"
+                    " 0D, (s, v) -> s + v)"
+                )
+                / (F.col("__vn") * F.col("c_norm")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score"), (-F.col("c_id")).alias("neg_cid"))).alias("m")
+    )
+    return best.select(
+        id_col,
+        (-F.col("m.neg_cid")).cast("int").alias("sd_cluster"),
+        F.col("m.score").alias("sd_cos"),
     )
 
 
