@@ -151,3 +151,39 @@ def test_joined_assign_single_shuffle(spark):
     assert "Broadcast" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan.lower() or "partial" in plan.lower()
+
+
+def test_semantic_dup_clusters_via_connected_components(spark):
+    """Composition: SemDeDup pair evidence → duplicate CLUSTERS via
+    connected_components (pointer-jumping min-label), checked against a
+    Python union-find over the twin's pairs — pairwise evidence to
+    keep/drop groups, the decision a real pipeline acts on."""
+    from ocr_auto_label_spark.operators.dedup import connected_components
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, want_pairs, _ = _py_semdedup(emb.collect())
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, a, b, _c in want_pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    for node in parent:
+        root = find(node)
+        want.setdefault(root, set()).add(node)
+    want_comps = {frozenset(v) for v in want.values()}
+
+    _, p, _ = semdedup(emb, n_centroids=K, threshold=THR)
+    cc = connected_components(p.select("id_a", "id_b"))
+    got = {}
+    for r in cc.collect():
+        got.setdefault(r.component, set()).add(r.id)
+    got_comps = {frozenset(v) for v in got.values()}
+    assert got_comps == want_comps
+    assert any(len(c) > 2 for c in got_comps)  # non-trivial clusters occur
