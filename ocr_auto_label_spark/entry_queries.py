@@ -831,26 +831,52 @@ def _full_pipeline_e1_duck() -> str:
 
 
 def _main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Main-content extraction via DOM-density heuristics (Boilerpipe /
-    jusText-lite: markup density, text length, separator density — see
-    functions/maincontent_sql.py) over the pinned 2 000-turn transcript
-    corpus.  Pure higher-order column expressions — whole-stage codegen,
-    zero Python; the classifier complements the flagship's ordered-regex
-    normalizer (labelcore/boilerplate.py, the generalization of
-    gemini.ts:223-231)."""
+    """Main-content extraction, two strategies over the pinned 2 000-turn
+    transcript corpus as a variant union:
+
+    - ``density``: per-line DOM-density classifier (Boilerpipe /
+      jusText-lite: markup density, text length, separator density — see
+      functions/maincontent_sql.py).  Pure higher-order column
+      expressions — whole-stage codegen, zero Python, zero shuffles.
+    - ``line_freq``: corpus-level boilerplate removal by cross-document
+      line frequency (the CCNet/RefinedWeb rule — a line recurring in ≥5
+      distinct conversations is chrome).  One line-key count-distinct
+      aggregate + join-back + per-turn regroup.
+
+    Both complement the flagship's ordered-regex normalizer
+    (labelcore/boilerplate.py, the generalization of gemini.ts:223-231);
+    both kept texts are hash-compared verbatim against the DuckDB dialect
+    of the same generators."""
     from ocr_auto_label_spark.datagen import transcripts_parquet
-    from ocr_auto_label_spark.functions.maincontent_sql import main_content_sql
+    from ocr_auto_label_spark.functions.maincontent_sql import (
+        line_freq_sql,
+        main_content_sql,
+    )
 
     path = transcripts_parquet(2_000)
-    return spark.sql(main_content_sql("spark", f"parquet.`{path}`"))
+    src = f"parquet.`{path}`"
+    density = spark.sql(main_content_sql("spark", src)).select(
+        F.lit("density").alias("variant"), "*"
+    )
+    line_freq = spark.sql(line_freq_sql("spark", src)).select(
+        F.lit("line_freq").alias("variant"), "*"
+    )
+    return density.unionByName(line_freq)
 
 
 def _main_content_duck() -> str:
     from ocr_auto_label_spark.datagen import transcripts_parquet
-    from ocr_auto_label_spark.functions.maincontent_sql import main_content_sql
+    from ocr_auto_label_spark.functions.maincontent_sql import (
+        line_freq_sql,
+        main_content_sql,
+    )
 
     path = transcripts_parquet(2_000)
-    return main_content_sql("duck", f"read_parquet('{path}/*.parquet')")
+    src = f"read_parquet('{path}/*.parquet')"
+    return (
+        f"SELECT 'density' AS variant, * FROM ({main_content_sql('duck', src)}) a "
+        f"UNION ALL SELECT 'line_freq' AS variant, * FROM ({line_freq_sql('duck', src)}) b"
+    )
 
 
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,74 @@ def _tagless(l: str, dialect: str) -> str:
     return f"regexp_replace({l}, '<[^>]*>', ''{g})"
 
 
+def line_freq_sql(dialect: str, source: str, min_convs: int = 5) -> str:
+    """Corpus-level boilerplate removal by line frequency (the CCNet /
+    RefinedWeb rule: a line recurring across many *documents* is chrome,
+    not content — Wenzek et al. 2020 §4.1, Penedo et al. 2023 §G).
+
+    Complements the per-line density classifier (:func:`main_content_sql`,
+    which looks at each line in isolation): here the evidence is
+    corpus-global — an exact line occurring in ``>= min_convs`` DISTINCT
+    conversations is dropped everywhere, whitespace-only lines are always
+    dropped, and every turn's surviving lines are re-joined in original
+    order.  All integer/string arithmetic; the same generator emits both
+    dialects so the DuckDB side is a genuine independent replay.
+
+    Scale shape: one line-key aggregate (count-distinct conv_id, two-phase
+    partial agg), one equi-join back on the line, one per-turn regroup —
+    O(corpus lines) shuffle, no all-pairs work.  Frequency skew on hot
+    boilerplate lines is bounded by the partial aggregation; the join-back
+    side is AQE skew-splittable.
+    """
+    if dialect == "spark":
+        lines = (
+            "SELECT conv_id, turn_idx, pos, line "
+            f"FROM (SELECT conv_id, turn_idx, text FROM {source}) s0 "
+            "LATERAL VIEW posexplode(split(text, chr(10))) t AS pos, line"
+        )
+        rebuild = (
+            "array_join(transform(filter(array_sort(collect_list("
+            "named_struct('pos', pos, 'keep', keep, 'line', line))), "
+            "x -> x.keep = 1), x -> x.line), chr(10))"
+        )
+    elif dialect == "duck":
+        lines = (
+            "SELECT conv_id, turn_idx, u.pos AS pos, u.line AS line "
+            "FROM (SELECT conv_id, turn_idx, "
+            "unnest(list_transform(range(1, len(ls) + 1), "
+            "i -> struct_pack(pos := i, line := ls[i]))) AS u "
+            f"FROM (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS ls "
+            f"FROM {source}) s0) s1"
+        )
+        rebuild = (
+            "coalesce(string_agg(CASE WHEN keep = 1 THEN line END, "
+            "chr(10) ORDER BY pos), '')"
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    return f"""
+SELECT conv_id, turn_idx, main_text, n_lines, n_kept,
+       CAST(length(main_text) AS BIGINT) AS kept_chars
+FROM (
+  SELECT conv_id, turn_idx,
+         {rebuild} AS main_text,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(keep) AS BIGINT) AS n_kept
+  FROM (
+    SELECT l.conv_id, l.turn_idx, l.pos, l.line,
+           CASE WHEN trim(l.line) <> '' AND f.line IS NULL THEN 1 ELSE 0 END AS keep
+    FROM ({lines}) l
+    LEFT JOIN (
+      SELECT line FROM ({lines}) fl WHERE trim(line) <> ''
+      GROUP BY line HAVING count(DISTINCT conv_id) >= {min_convs}
+    ) f ON l.line = f.line
+  ) flags
+  GROUP BY conv_id, turn_idx
+) g
+"""
+
+
 def main_content_sql(dialect: str, source: str) -> str:
     """SELECT extracting per-turn main content from ``source`` (a table
     ref or parquet reader expression with conv_id, turn_idx, text)."""
