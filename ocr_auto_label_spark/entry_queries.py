@@ -126,6 +126,7 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences (≲1 ulp) can't flip a compared digit (the
     round(double, 6) HALF_UP-vs-binary trap, see module docstring)."""
     from ocr_auto_label_spark.operators.textstats import (
+        dsir_logweights,
         duplicated_span_stats,
         exact_group_quantiles,
         repetition_stats,
@@ -186,18 +187,32 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_spans").alias("cnt"),
         F.col("dup_span_frac").alias("val"),
     )
+    # DSIR importance reweighting (Xie et al. 2023): hashed-bigram
+    # log(p_target/p_raw) per doc, target = the English slice; the
+    # DuckDB oracle replays pmod(xxhash64(gram), 1024) via the XXH64-SQL
+    # compiler.  Same 1e-3 floor quantization as unigram_nll (libm ln
+    # ulps + summation order must not flip a compared digit).
+    dsir = dsir_logweights(docs, target=(F.col("lang") == "en")).select(
+        F.lit("dsir_logweight").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_grams").alias("cnt"),
+        (F.floor(F.col("avg_logweight") * 1000) / 1000).alias("val"),
+    )
     return (
         long_stats.unionByName(nll).unionByName(dup).unionByName(top)
-        .unionByName(qs).unionByName(spans)
+        .unionByName(qs).unionByName(spans).unionByName(dsir)
     )
 
 
 def _text_quality_stats_duck() -> str:
+    from ocr_auto_label_spark.functions.xxh64_sql import xxh64_str_staged_sql
+
     unions = " UNION ALL ".join(
         f"SELECT '{m}' AS variant, lang AS k, cnt, {m} AS val FROM w"
         for m in _TEXTSTATS_METRICS
     )
     _duck_tokens_len = f"len({_duck_tokens('text')})"
+    gram_hash = xxh64_str_staged_sql("FROM dvocab", "gram")
     return f"""
 WITH w AS ({_textstats_sql('duck')}),
 toks AS (
@@ -233,7 +248,33 @@ qt AS (SELECT lang, count({_duck_tokens_len}) AS n,
               quantile_disc({_duck_tokens_len}, 0.50) AS p50,
               quantile_disc({_duck_tokens_len}, 0.90) AS p90,
               quantile_disc({_duck_tokens_len}, 0.99) AS p99
-       FROM documents GROUP BY lang)
+       FROM documents GROUP BY lang),
+dtok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter({_duck_tokens('text')}, w -> w <> '') AS t
+  FROM documents),
+dgram AS MATERIALIZED (
+  SELECT doc_id, (lang = 'en') AS is_tgt,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> concat(t[i], ' ', t[i + 1]))) AS gram
+  FROM dtok),
+dvocab AS (SELECT DISTINCT gram FROM dgram),
+dhash AS MATERIALIZED (
+  SELECT gram, CAST(__xxh_u % 1024 AS BIGINT) AS bucket
+  FROM ({gram_hash}) z),
+docc AS MATERIALIZED (
+  SELECT g.doc_id, g.is_tgt, h.bucket, count(*) AS k
+  FROM dgram g JOIN dhash h USING (gram) GROUP BY 1, 2, 3),
+ddist AS (
+  SELECT bucket, sum(k) AS raw_cnt,
+         sum(CASE WHEN is_tgt THEN k ELSE 0 END) AS tgt_cnt
+  FROM docc GROUP BY bucket),
+dtot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM ddist),
+dlw AS (
+  SELECT bucket,
+         ln((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
+           - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)) AS lw
+  FROM ddist CROSS JOIN dtot)
 {unions}
 UNION ALL
 SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
@@ -258,6 +299,11 @@ SELECT 'dup_span_frac' AS variant, CAST(d.doc_id AS VARCHAR) AS k,
        coalesce(s.n_spans, 0) AS cnt,
        coalesce(CAST(s.dup_spans AS DOUBLE) / s.n_spans, 0.0) AS val
 FROM documents d LEFT JOIN sdoc s USING (doc_id)
+UNION ALL
+SELECT 'dsir_logweight' AS variant, CAST(o.doc_id AS VARCHAR) AS k,
+       CAST(sum(o.k) AS BIGINT) AS cnt,
+       floor((sum(o.k * l.lw) / sum(o.k)) * 1000) / 1000 AS val
+FROM docc o JOIN dlw l USING (bucket) GROUP BY o.doc_id
 """
 
 

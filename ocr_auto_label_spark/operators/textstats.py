@@ -299,6 +299,83 @@ def exact_group_quantiles(
     )
 
 
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance log-weights (Xie et al. 2023,
+    *Data Selection for Language Models via Importance Resampling*): the
+    per-document log importance weight log(p_target/p_raw) under two
+    hashed-bigram bag-of-ngrams models — the target distribution is
+    estimated from rows where ``target`` is true, the raw distribution
+    from the whole corpus, both Laplace-smoothed over ``n_buckets``
+    hash buckets (bucket = pmod(xxhash64(bigram), n_buckets)).  High
+    weight ≈ "looks like the target domain"; downstream selection keeps
+    the top-weighted docs (or Gumbel-resamples on the weights).
+
+    Scale shape: grams are hashed once per DISTINCT bigram (the
+    distinct-vocab discipline — per-occurrence hashing re-does identical
+    work); per-(doc, bucket) occurrence counts ``k`` collapse the scoring
+    join's left side; the bucket distribution table is AT MOST
+    ``n_buckets`` rows (a constant independent of corpus size), so its
+    broadcast — unlike a corpus-wide vocab (ADVICE r3) — is genuinely
+    bounded, as is the 1-row totals frame.  Net: one vocab distinct, one
+    bucket agg, one bounded-broadcast scoring join, one per-doc fold.
+
+    Output: (id_col, n_grams, avg_logweight) where avg_logweight =
+    Σ k·lw(bucket) / Σ k over the doc's bigram occurrences (raw double —
+    callers quantize for cross-engine comparison).  Docs with fewer than
+    two tokens have no bigrams and are absent.
+    """
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+        # power of two ⇒ pmod of the signed hash == unsigned remainder,
+        # which is what the DuckDB XXH64-SQL oracle replays
+        raise ValueError("dsir_logweights: n_buckets must be a power of two")
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("is_tgt"),
+        F.explode(all_word_ngrams(toks, 2)).alias("gram"),
+    )
+    vocab = grams.select("gram").distinct().withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets))
+    )
+    occ = (
+        grams.join(vocab, "gram")
+        .groupBy("id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    dist = occ.groupBy("bucket").agg(
+        F.sum("k").alias("raw_cnt"),
+        F.sum(F.when(F.col("is_tgt"), F.col("k")).otherwise(F.lit(0))).alias(
+            "tgt_cnt"
+        ),
+    )
+    totals = dist.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    b = F.lit(float(n_buckets))
+    lw = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_tot") + b))
+            - F.log((F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + b))
+        ).alias("lw"),
+    )
+    return (
+        occ.join(F.broadcast(lw), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_grams"),
+            (F.sum(F.col("k") * F.col("lw")) / F.sum("k")).alias("avg_logweight"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",
