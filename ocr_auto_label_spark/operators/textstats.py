@@ -316,14 +316,18 @@ def dsir_logweights(
     weight ≈ "looks like the target domain"; downstream selection keeps
     the top-weighted docs (or Gumbel-resamples on the weights).
 
-    Scale shape: grams are hashed once per DISTINCT bigram (the
-    distinct-vocab discipline — per-occurrence hashing re-does identical
-    work); per-(doc, bucket) occurrence counts ``k`` collapse the scoring
-    join's left side; the bucket distribution table is AT MOST
-    ``n_buckets`` rows (a constant independent of corpus size), so its
-    broadcast — unlike a corpus-wide vocab (ADVICE r3) — is genuinely
-    bounded, as is the 1-row totals frame.  Net: one vocab distinct, one
-    bucket agg, one bounded-broadcast scoring join, one per-doc fold.
+    Scale shape: the bucket is computed inline per occurrence —
+    ``xxhash64`` is a JVM intrinsic inside whole-stage codegen, so
+    hashing per gram is nanoseconds/row while a distinct-vocab
+    hash-then-join-back would add two wide stages (that discipline
+    belongs in the DuckDB oracle, where the hash is staged int128 SQL
+    math and IS worth deduplicating).  Per-(doc, bucket) occurrence
+    counts ``k`` collapse the scoring join's left side; the bucket
+    distribution table is AT MOST ``n_buckets`` rows (a constant
+    independent of corpus size), so its broadcast — unlike a corpus-wide
+    vocab (ADVICE r3) — is genuinely bounded, as is the 1-row totals
+    frame.  Net: one bucket-count agg, one bounded-broadcast scoring
+    join, one per-doc fold.
 
     Output: (id_col, n_grams, avg_logweight) where avg_logweight =
     Σ k·lw(bucket) / Σ k over the doc's bigram occurrences (raw double —
@@ -340,11 +344,12 @@ def dsir_logweights(
         target.alias("is_tgt"),
         F.explode(all_word_ngrams(toks, 2)).alias("gram"),
     )
-    vocab = grams.select("gram").distinct().withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets))
-    )
     occ = (
-        grams.join(vocab, "gram")
+        grams.select(
+            "id",
+            "is_tgt",
+            F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+        )
         .groupBy("id", "is_tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("k"))
     )
