@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--pack-budget", type=int, default=0,
                    help="also write the sequence-packing assignment "
                         "(packs never cross split boundaries); 0 = off")
+    p.add_argument("--chunk-budget", type=int, default=0,
+                   help="also write token-window chunks of the curated "
+                        "docs (chunks inherit their doc's split); 0 = off")
+    p.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens shared by consecutive chunks")
     p.add_argument("--semdedup-embeddings", default=None,
                    help="embeddings parquet keyed by vec_id matching the "
                         "corpus ids; enables the SemDeDup semantic-dedup "
@@ -60,6 +65,8 @@ def main() -> None:
             max_dup_word_frac=args.max_dup_word_frac,
             ngram_n=args.ngram_n,
             pack_budget=args.pack_budget,
+            chunk_budget=args.chunk_budget,
+            chunk_overlap=args.chunk_overlap,
             embeddings=(
                 spark.read.parquet(args.semdedup_embeddings)
                 if args.semdedup_embeddings else None

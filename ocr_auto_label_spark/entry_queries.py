@@ -970,6 +970,8 @@ _SPLIT_NAMES = ("train", "val", "test")
 _MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
 _PACK_BUDGET = 1024
 _PACK_SHARDS = 8
+_CHUNK_BUDGET = 32
+_CHUNK_OVERLAP = 8
 
 
 def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,7 +998,12 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       packing (operators/packing.py — per-shard (xxhash64, id) order,
       cumulative token count, pack = start_offset div 1024): per doc
       (shard, pack_id) and (start_offset, n_tokens); per pack the doc
-      and token totals.
+      and token totals;
+    - ``chunk_assign`` / ``chunk_summary``: token-window chunking
+      (operators/packing.py chunk_documents — budget 32, overlap 8,
+      minimal covering chunk count, pure integer boundaries; the narrow
+      zero-shuffle complement of packing): per chunk (start_tok,
+      n_chunk_tokens), per doc (n_chunks, n_tokens).
 
     The oracle replicates Spark's xxhash64(BIGINT) bit-exactly in DuckDB
     SQL (functions/xxh64_sql.xxh64_long8_stages — XXH64 of the 8-byte LE
@@ -1096,11 +1103,28 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("v1"),
         F.col("n_tok").cast("long").alias("v2"),
     )
+    # token-window chunking (the narrow complement of packing)
+    from ocr_auto_label_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(docs, _CHUNK_BUDGET, _CHUNK_OVERLAP)
+    chunk_assign = chunks.select(
+        F.lit("chunk_assign").alias("variant"),
+        F.concat_ws("/", F.col("doc_id"), F.col("chunk_idx")).alias("k"),
+        F.col("start_tok").alias("v1"),
+        F.col("n_chunk_tokens").alias("v2"),
+    )
+    chunk_summary = chunks.filter(F.col("chunk_idx") == 0).select(
+        F.lit("chunk_summary").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_chunks").alias("v1"),
+        F.col("n_tokens").alias("v2"),
+    )
     return (
         exact.unionByName(assign).unionByName(summary)
         .unionByName(decon).unionByName(mix).unionByName(mix_summary)
         .unionByName(pack_assign).unionByName(pack_offset)
-        .unionByName(pack_summary)
+        .unionByName(pack_summary).unionByName(chunk_assign)
+        .unionByName(chunk_summary)
     )
 
 
@@ -1166,7 +1190,18 @@ ev AS MATERIALIZED (
   SELECT gr.doc_id, gram FROM gr JOIN s USING (doc_id) WHERE s.idx > 0),
 tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
 hit AS (SELECT ev.doc_id, count(*) AS n_contam
-        FROM ev JOIN tr USING (gram) GROUP BY 1)
+        FROM ev JOIN tr USING (gram) GROUP BY 1),
+chn AS MATERIALIZED (
+  SELECT doc_id, n,
+         CASE WHEN n > {_CHUNK_BUDGET}
+              THEN 1 + ((n - {_CHUNK_BUDGET} + {_CHUNK_BUDGET - _CHUNK_OVERLAP} - 1)
+                        // {_CHUNK_BUDGET - _CHUNK_OVERLAP})
+              ELSE 1 END AS n_chunks
+  FROM (SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+        FROM documents) z),
+chx AS (SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS i FROM chn)
 SELECT 'exact_group' AS variant, md5(text) AS k,
        min(doc_id) AS v1, count(*) AS v2
 FROM documents GROUP BY md5(text)
@@ -1198,6 +1233,16 @@ SELECT 'pack_summary',
        CAST(shard AS VARCHAR) || '/' || CAST(off // {_PACK_BUDGET} AS VARCHAR),
        count(*), sum(tc)
 FROM pcum GROUP BY shard, off // {_PACK_BUDGET}
+UNION ALL
+SELECT 'chunk_assign',
+       CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR),
+       CAST(i * {_CHUNK_BUDGET - _CHUNK_OVERLAP} AS BIGINT),
+       CAST(least({_CHUNK_BUDGET}, n - i * {_CHUNK_BUDGET - _CHUNK_OVERLAP}) AS BIGINT)
+FROM chx
+UNION ALL
+SELECT 'chunk_summary', CAST(doc_id AS VARCHAR),
+       CAST(n_chunks AS BIGINT), CAST(n AS BIGINT)
+FROM chn
 """
 
 

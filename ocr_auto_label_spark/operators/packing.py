@@ -32,6 +32,84 @@ from ocr_auto_label_spark.operators.sampling import checked_id_hash
 from ocr_auto_label_spark.operators.textstats import token_count
 
 
+def chunk_documents(
+    df: DataFrame,
+    budget: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split documents longer than ``budget`` tokens into overlapping
+    token-window chunks — the complement of :func:`pack_sequences`
+    (packing concatenates short docs up to a context window; chunking
+    cuts long docs down to fit one).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + budget)`` with
+    ``stride = budget − overlap``; the chunk count is the minimal number
+    that covers every token (``1 + ceil((n − budget)/stride)`` for
+    ``n > budget``, else one chunk), so a doc never loses its tail and a
+    short doc passes through whole.  NULL/whitespace-only text emits one
+    empty chunk — the doc stays addressable downstream.  All integer
+    arithmetic (`div`-based ceil), so an independent SQL replay matches
+    every boundary exactly.
+
+    Narrow op: tokenize → per-row ``sequence`` → ``posexplode`` — ZERO
+    shuffles, embarrassingly parallel, composes with any upstream
+    partitioning.  ``carry_cols`` projects extra per-doc columns onto
+    every chunk (e.g. ``["split"]`` after ``deterministic_split`` — chunks
+    inherit their doc's split with no join).  Output: ``(id_col,
+    *carry_cols, chunk_idx, start_tok, n_chunk_tokens, chunk_text,
+    n_tokens, n_chunks)``.
+    """
+    if budget <= 0:
+        raise ValueError("chunk_documents: budget must be positive")
+    if not 0 <= overlap < budget:
+        raise ValueError("chunk_documents: need 0 <= overlap < budget")
+    stride = budget - overlap
+    carry = list(carry_cols or [])
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col), *carry, toks.alias("__toks")).select(
+        id_col,
+        *carry,
+        "__toks",
+        F.size("__toks").alias("n_tokens"),
+    ).withColumn(
+        "n_chunks",
+        F.when(
+            F.col("n_tokens") > budget,
+            1 + F.expr(f"(n_tokens - {budget} + {stride} - 1) div {stride}"),
+        ).otherwise(F.lit(1)).cast("long"),
+    )
+    exploded = base.select(
+        id_col,
+        *carry,
+        "__toks",
+        "n_tokens",
+        "n_chunks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx", "__i"
+        ),
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    k = F.least(F.lit(budget).cast("long"), F.col("n_tokens") - start)
+    return exploded.select(
+        id_col,
+        *carry,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        k.alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), start.cast("int") + 1, k.cast("int")), " "
+        ).alias("chunk_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_chunks",
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -92,6 +92,8 @@ def curate_corpus(
     weights: tuple[int, ...] = (80, 10, 10),
     names: tuple[str, ...] = ("train", "val", "test"),
     pack_budget: int = 0,
+    chunk_budget: int = 0,
+    chunk_overlap: int = 0,
     embeddings: DataFrame | None = None,
     semdedup_centroids: int = 16,
     semdedup_threshold: float = 0.95,
@@ -104,7 +106,11 @@ def curate_corpus(
     id, n_grams, n_contam).  With ``pack_budget > 0`` also writes
     ``{output_dir}/packs``: the sequence-packing assignment
     (``pack_sequences`` with ``within_cols=["split"]`` — packs never
-    cross split boundaries).  With ``embeddings`` (a frame keyed by
+    cross split boundaries).  With ``chunk_budget > 0`` also writes
+    ``{output_dir}/chunks``: the token-window chunk rows
+    (``chunk_documents`` with ``carry_cols=["split"]`` — chunks inherit
+    their doc's split with no join; the narrow complement of packing for
+    docs longer than a context window).  With ``embeddings`` (a frame keyed by
     ``vec_id_col`` matching the corpus ids), a SEMANTIC dedup stage runs
     between exact dedup and the split: ``operators.similarity.semdedup``
     eviction ids are anti-joined out, so near-meaning duplicates never
@@ -212,11 +218,38 @@ def curate_corpus(
             "n_packs": int(agg["n_packs"] or 0),
             "packed_docs": int(agg["n_docs"] or 0),
         }
+    chunk_stats = {}
+    if chunk_budget > 0:
+        from ocr_auto_label_spark.operators.packing import chunk_documents
+
+        chunks_path = f"{output_dir}/chunks"
+        chunks = chunk_documents(
+            curated, chunk_budget, chunk_overlap, id_col, text_col,
+            carry_cols=["split"],
+        )
+        chunks.write.mode("overwrite").parquet(chunks_path)
+        cagg = (
+            spark.read.schema(chunks.schema).parquet(chunks_path)
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(
+                    F.when(F.col("n_chunks") > 1, 1).otherwise(0)
+                ).alias("split_docs"),
+            )
+            .first()
+        )
+        chunk_stats = {
+            "chunks_path": chunks_path,
+            "n_chunks": int(cagg["n_chunks"] or 0),
+            # chunk rows belonging to a doc that needed splitting
+            "oversize_chunk_rows": int(cagg["split_docs"] or 0),
+        }
     stage1 = obs_dedup.get
     # zero-row aggregates yield NULL sums — coerce every count so the
     # JSON contract is always integers, never null
     return {
         **pack_stats,
+        **chunk_stats,
         **sem_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],

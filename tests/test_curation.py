@@ -165,6 +165,39 @@ def test_curation_with_packing(spark, tmp_path):
         assert r.pack_id == r.start_offset // 512
 
 
+def test_curation_with_chunking(spark, tmp_path):
+    """chunk_budget > 0 writes token-window chunks of the curated docs;
+    chunks inherit the doc's split, reconstruct its token stream, and
+    match chunk_documents applied to the curated output directly."""
+    from ocr_auto_label_spark.operators.packing import chunk_documents
+
+    out = str(tmp_path / "chunked")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    summary = curate_corpus(
+        spark, docs, out, chunk_budget=32, chunk_overlap=8, **GATES
+    )
+    rows = spark.read.parquet(f"{out}/chunks").collect()
+    assert len(rows) == summary["n_chunks"] > summary["rows_after_dedup"]
+    curated = spark.read.parquet(f"{out}/curated")
+    want = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            curated, 32, 8, carry_cols=["split"]
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in rows) == want
+    # per-doc: every chunked doc appears with a chunk_idx-0 chunk and its
+    # chunk rows carry exactly the doc's split
+    curated_rows = {r.doc_id: r for r in curated.collect()}
+    seen = {}
+    for r in rows:
+        assert r.split == curated_rows[r.doc_id].split
+        seen.setdefault(r.doc_id, set()).add(r.chunk_idx)
+    assert set(seen) == set(curated_rows)
+    for doc_id, idxs in seen.items():
+        assert idxs == set(range(len(idxs)))
+
+
 def test_curation_survives_empty_corpus(spark, tmp_path):
     """Gates that reject every doc must yield a zeroed summary, not an
     UNABLE_TO_INFER_SCHEMA crash on the zero-row curated read-back (the
