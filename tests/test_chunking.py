@@ -75,6 +75,29 @@ def test_chunking_is_narrow(fixture_df):
     assert "Exchange" not in plan
 
 
+def test_chunk_then_pack_fits_context_window(spark):
+    """The composition the two operators exist for: packing alone lets an
+    oversized doc overflow its pack (it only assigns where the doc
+    STARTS), but chunk-at-budget THEN pack-the-chunks guarantees every
+    packed row fits the context window."""
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.operators.packing import pack_sequences
+
+    budget = 32
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw_packed = pack_sequences(docs, budget, "doc_id", "text")
+    assert raw_packed.filter(F.col("n_tokens") > budget).count() > 0
+
+    chunks = chunk_documents(docs, budget, 0).withColumn(
+        # synthetic long id: packing's hash family needs a numeric id
+        "chunk_id", F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
+    )
+    chunk_packed = pack_sequences(chunks, budget, "chunk_id", "chunk_text")
+    assert chunk_packed.filter(F.col("n_tokens") > budget).count() == 0
+    assert chunk_packed.count() == chunks.count()
+
+
 def test_arg_validation(fixture_df):
     df, _ = fixture_df
     with pytest.raises(ValueError):
