@@ -49,6 +49,10 @@ def main() -> None:
                         "stage between exact dedup and the split")
     p.add_argument("--semdedup-threshold", type=float, default=0.95)
     p.add_argument("--semdedup-centroids", type=int, default=16)
+    p.add_argument("--semantic-decontam-threshold", type=float, default=None,
+                   help="with --semdedup-embeddings: also report eval docs "
+                        "whose embedding is cosine-similar (>= this) to any "
+                        "train doc's (LSH-blocked; recall < 1 by design)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -73,6 +77,7 @@ def main() -> None:
             ),
             semdedup_centroids=args.semdedup_centroids,
             semdedup_threshold=args.semdedup_threshold,
+            semantic_decontam_threshold=args.semantic_decontam_threshold,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

@@ -97,7 +97,9 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semdedup_centroids: int = 16,
     semdedup_threshold: float = 0.95,
+    semantic_decontam_threshold: float | None = None,
     vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -116,6 +118,15 @@ def curate_corpus(
     eviction ids are anti-joined out, so near-meaning duplicates never
     consume split slots; the summary gains ``semantic_evicted_ids`` (the
     eviction-list size — actual drops show up in the split counts).
+    With ``semantic_decontam_threshold`` additionally set, a SEMANTIC
+    decontamination report is written beside the n-gram one: eval docs
+    whose embedding is cosine-similar (≥ the threshold) to ANY train
+    doc's — contamination the exact 13-gram probe cannot see
+    (paraphrases, translations, near-duplicates below the eviction bar).
+    Pairs are LSH-signature-blocked (the scale path — equi-join-shaped,
+    recall < 1 by design: only same-bucket pairs are compared, exactly
+    like the ANN probe), and the report rows carry each contaminated
+    eval doc's best train partner and cosine.
     Deterministic end-to-end: gates and hashes are pure functions of the
     text/id, so re-running produces the same bytes for the same input.
     """
@@ -218,6 +229,63 @@ def curate_corpus(
             "n_packs": int(agg["n_packs"] or 0),
             "packed_docs": int(agg["n_docs"] or 0),
         }
+    sem_decon_stats = {}
+    if embeddings is not None and semantic_decontam_threshold is not None:
+        from ocr_auto_label_spark.operators.similarity import (
+            cosine_neardup_pairs,
+            hyperplane_signature,
+        )
+
+        splits = curated.select(
+            F.col(id_col).alias(vec_id_col), F.col("split")
+        )
+        emb = embeddings.join(splits, vec_id_col).withColumn(
+            "__sig", hyperplane_signature(vec_col)
+        )
+        pairs = cosine_neardup_pairs(
+            emb, ["__sig"], semantic_decontam_threshold,
+            vec_col=vec_col, id_col=vec_id_col,
+        )
+        sa = splits.select(
+            F.col(vec_id_col).alias("id_a"), F.col("split").alias("split_a")
+        )
+        sb = splits.select(
+            F.col(vec_id_col).alias("id_b"), F.col("split").alias("split_b")
+        )
+        crossed = pairs.join(sa, "id_a").join(sb, "id_b")
+        train = names[0]
+        # normalize each pair to (eval doc, train partner); a pair can
+        # qualify in one direction only (train×train / eval×eval drop out)
+        hits = crossed.select(
+            F.when(F.col("split_a") != train, F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("eval_id"),
+            F.when(F.col("split_a") != train, F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("train_id"),
+            "cosine",
+            "split_a",
+            "split_b",
+        ).filter(
+            (F.col("split_a") == train) != (F.col("split_b") == train)
+        )
+        sem_report = hits.groupBy(F.col("eval_id").alias(id_col)).agg(
+            # tie-break equal cosines by the larger train id — determinism
+            # under any partitioning (a bare max_by picks arbitrarily)
+            F.max_by("train_id", F.struct("cosine", "train_id")).alias(
+                "nearest_train_id"
+            ),
+            F.max("cosine").alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_train_matches"),
+        )
+        sem_report_path = f"{output_dir}/semantic_decontam_report"
+        sem_report.write.mode("overwrite").parquet(sem_report_path)
+        n_sem = (
+            spark.read.schema(sem_report.schema)
+            .parquet(sem_report_path).count()
+        )
+        sem_decon_stats = {
+            "semantic_report_path": sem_report_path,
+            "semantic_contaminated_docs": int(n_sem),
+        }
     chunk_stats = {}
     if chunk_budget > 0:
         from ocr_auto_label_spark.operators.packing import chunk_documents
@@ -251,6 +319,7 @@ def curate_corpus(
         **pack_stats,
         **chunk_stats,
         **sem_stats,
+        **sem_decon_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],

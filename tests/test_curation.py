@@ -216,6 +216,86 @@ def test_curation_survives_empty_corpus(spark, tmp_path):
     assert summary["packed_docs"] == 0
 
 
+def test_curation_with_semantic_decontam(spark, tmp_path):
+    """semantic_decontam_threshold reports eval docs cosine-similar to a
+    train doc within the same LSH bucket — verified against a from-scratch
+    Python twin (own spec-XXH64 plane weights, own blocking, own cosine
+    with Spark's HALF_UP rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ocr_auto_label_spark.functions.xxh64_sql import xxh64_int4_py
+
+    out = str(tmp_path / "semdecon")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    thr = 0.3
+    summary = curate_corpus(
+        spark, docs, out,
+        embeddings=emb, semdedup_threshold=0.9,  # high bar: no eviction
+        semantic_decontam_threshold=thr, **GATES,
+    )
+    got = {
+        r.doc_id: (r.nearest_train_id, r.max_cosine, r.n_train_matches)
+        for r in spark.read.parquet(f"{out}/semantic_decontam_report").collect()
+    }
+
+    # --- twin ---
+    splits = {r.doc_id: r.split
+              for r in spark.read.parquet(f"{out}/curated").collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect() if r.vec_id in splits}
+    dim = len(next(iter(vecs.values())))
+    weights = [
+        [1.0 if (xxh64_int4_py(p, xxh64_int4_py(i, 42)) >> 1) & 1 else -1.0
+         for i in range(dim)]
+        for p in range(8)
+    ]
+
+    def sig(v):
+        s = 0
+        for p in range(8):
+            acc = 0.0
+            for x, w in zip(v, weights[p]):
+                acc += x * w
+            s += (1 if acc > 0 else 0) << p
+        return s
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc ** 0.5
+
+    def cos6(va, vb):
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc += x * y
+        raw = acc / (norm(va) * norm(vb))
+        return float(Decimal(repr(raw)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    want = {}
+    for e_id, e_split in splits.items():
+        if e_split == "train":
+            continue
+        matches = [
+            (cos6(vecs[e_id], vecs[t_id]), t_id)
+            for t_id, t_split in splits.items()
+            if t_split == "train" and sigs[t_id] == sigs[e_id]
+        ]
+        matches = [(c, t) for c, t in matches if c >= thr]
+        if matches:
+            best = max(matches)
+            want[e_id] = (best[1], best[0], len(matches))
+    assert set(got) == set(want)
+    assert summary["semantic_contaminated_docs"] == len(want)
+    for e_id, (t_id, c, n) in want.items():
+        g_t, g_c, g_n = got[e_id]
+        assert (g_t, g_n) == (t_id, n), e_id
+        assert abs(g_c - c) < 1e-9, e_id
+
+
 def test_exact_dedup_rows_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
