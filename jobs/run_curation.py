@@ -53,6 +53,11 @@ def main() -> None:
                    help="with --semdedup-embeddings: also report eval docs "
                         "whose embedding is cosine-similar (>= this) to any "
                         "train doc's (LSH-blocked; recall < 1 by design)")
+    p.add_argument("--dsir-target-lang", default=None,
+                   help="DSIR selection target domain (a lang value)")
+    p.add_argument("--dsir-keep-percent", type=int, default=None,
+                   help="keep only the top X%% of docs by DSIR importance "
+                        "weight toward --dsir-target-lang (before the split)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -78,6 +83,8 @@ def main() -> None:
             semdedup_centroids=args.semdedup_centroids,
             semdedup_threshold=args.semdedup_threshold,
             semantic_decontam_threshold=args.semantic_decontam_threshold,
+            dsir_target_lang=args.dsir_target_lang,
+            dsir_keep_percent=args.dsir_keep_percent,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

@@ -100,6 +100,9 @@ def curate_corpus(
     semantic_decontam_threshold: float | None = None,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dsir_target_lang: str | None = None,
+    dsir_keep_percent: int | None = None,
+    lang_col: str = "lang",
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -127,6 +130,12 @@ def curate_corpus(
     recall < 1 by design: only same-bucket pairs are compared, exactly
     like the ANN probe), and the report rows carry each contaminated
     eval doc's best train partner and cosine.
+    With ``dsir_keep_percent`` (+ ``dsir_target_lang``) a DSIR data
+    SELECTION stage runs before the split: per-doc hashed-bigram
+    importance weights (``dsir_logweights``), milli-quantized, and only
+    docs at or above the exact nearest-rank (100−keep)th-percentile
+    weight survive — "keep the top X% that look most like the target
+    domain"; the summary gains ``dsir_threshold_milli``/``dsir_kept``.
     Deterministic end-to-end: gates and hashes are pure functions of the
     text/id, so re-running produces the same bytes for the same input.
     """
@@ -159,6 +168,48 @@ def curate_corpus(
         # the measured size (the unigram_nll lesson, ADVICE r3)
         sem_stats = {"semantic_evicted_ids": evict_ids.count()}
         deduped = deduped.join(evict_ids, id_col, "left_anti")
+    dsir_stats = {}
+    if dsir_keep_percent is not None:
+        # DSIR data SELECTION (Xie et al. 2023): keep the docs that look
+        # most like the target domain.  The global fraction cut is done
+        # the scale-correct way: weights quantized to milli-units (a
+        # bounded integer ladder — a few thousand distinct values
+        # regardless of corpus size), threshold = the exact nearest-rank
+        # quantile over that ladder (one bounded driver pull), keep =
+        # one filter + semi-join.  No global sort, no global rank window.
+        # Boundary ties all survive (kept count ≥ the requested percent);
+        # docs with <2 tokens have no bigrams, hence no weight, and drop.
+        if dsir_target_lang is None:
+            raise ValueError("dsir_keep_percent requires dsir_target_lang")
+        if not 1 <= dsir_keep_percent <= 99:
+            raise ValueError("dsir_keep_percent must be in [1, 99]")
+        from ocr_auto_label_spark.operators.textstats import (
+            dsir_logweights,
+            exact_group_quantiles,
+        )
+
+        wts = dsir_logweights(
+            deduped, target=(F.col(lang_col) == dsir_target_lang),
+            id_col=id_col, text_col=text_col,
+        )
+        mw = wts.select(
+            id_col,
+            F.floor(F.col("avg_logweight") * 1000).cast("long").alias("mw"),
+        )
+        thr_row = exact_group_quantiles(
+            mw.withColumn("__g", F.lit(1)), "mw", "__g",
+            percentiles=(100 - dsir_keep_percent,),
+        ).first()
+        if thr_row is None:
+            raise ValueError(
+                "dsir selection: no document produced bigram weights"
+            )
+        keep_ids = mw.filter(F.col("mw") >= thr_row["val"]).select(id_col)
+        deduped = deduped.join(keep_ids, id_col, "left_semi")
+        dsir_stats = {
+            "dsir_threshold_milli": int(thr_row["val"]),
+            "dsir_kept": keep_ids.count(),
+        }
     assigned = deterministic_split(
         deduped, id_col, weights, names
     ).observe(
@@ -320,6 +371,7 @@ def curate_corpus(
         **chunk_stats,
         **sem_stats,
         **sem_decon_stats,
+        **dsir_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],

@@ -296,6 +296,46 @@ def test_curation_with_semantic_decontam(spark, tmp_path):
         assert abs(g_c - c) < 1e-9, e_id
 
 
+def test_curation_with_dsir_selection(spark, tmp_path):
+    """dsir_keep_percent keeps exactly the docs at or above the exact
+    nearest-rank milli-weight threshold (from-scratch twin: test_dsir's
+    python DSIR on the gated+deduped set), and the kept set skews toward
+    the target domain."""
+    import math
+
+    from test_dsir import _py_dsir
+
+    out = str(tmp_path / "dsir")
+    base_out = str(tmp_path / "dsir_base")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keep_pct = 40
+    curate_corpus(spark, docs, base_out, **GATES)  # no-dsir baseline
+    summary = curate_corpus(
+        spark, docs, out,
+        dsir_target_lang="en", dsir_keep_percent=keep_pct, **GATES,
+    )
+    base_rows = [
+        (r.doc_id, r.lang, r.text)
+        for r in spark.read.parquet(f"{base_out}/curated").collect()
+    ]
+    wts = _py_dsir(base_rows, target_lang="en")
+    mw = {i: math.floor(avg * 1000) for i, (_, avg) in wts.items()}
+    ladder = sorted(mw.values())
+    rank = -(-len(ladder) * (100 - keep_pct) // 100)  # ceil(n*p/100)
+    thr = ladder[rank - 1]
+    want_kept = {i for i, v in mw.items() if v >= thr}
+    got_kept = {
+        r.doc_id for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    assert got_kept == want_kept
+    assert summary["dsir_kept"] == len(want_kept)
+    assert summary["dsir_threshold_milli"] == thr
+    # selection property: the kept set is more target-domain than the pool
+    lang = {i: l for i, l, _ in base_rows}
+    frac = lambda ids: sum(lang[i] == "en" for i in ids) / len(ids)
+    assert frac(got_kept) > frac(set(lang))
+
+
 def test_exact_dedup_rows_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
