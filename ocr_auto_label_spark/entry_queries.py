@@ -265,7 +265,7 @@ dhash AS MATERIALIZED (
 docc AS MATERIALIZED (
   SELECT g.doc_id, g.is_tgt, h.bucket, count(*) AS k
   FROM dgram g JOIN dhash h USING (gram) GROUP BY 1, 2, 3),
-ddist AS (
+ddist AS MATERIALIZED (
   SELECT bucket, sum(k) AS raw_cnt,
          sum(CASE WHEN is_tgt THEN k ELSE 0 END) AS tgt_cnt
   FROM docc GROUP BY bucket),
@@ -1103,10 +1103,14 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("v1"),
         F.col("n_tok").cast("long").alias("v2"),
     )
-    # token-window chunking (the narrow complement of packing)
+    # token-window chunking (the narrow complement of packing); zero
+    # shuffles, so parallelism is the scan's — spread the single-file
+    # local table (no-op on a multi-file production layout)
     from ocr_auto_label_spark.operators.packing import chunk_documents
 
-    chunks = chunk_documents(docs, _CHUNK_BUDGET, _CHUNK_OVERLAP)
+    chunks = chunk_documents(
+        ensure_parallelism(docs), _CHUNK_BUDGET, _CHUNK_OVERLAP
+    )
     chunk_assign = chunks.select(
         F.lit("chunk_assign").alias("variant"),
         F.concat_ws("/", F.col("doc_id"), F.col("chunk_idx")).alias("k"),
@@ -1198,8 +1202,11 @@ chn AS MATERIALIZED (
                         // {_CHUNK_BUDGET - _CHUNK_OVERLAP})
               ELSE 1 END AS n_chunks
   FROM (SELECT doc_id,
-               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+               CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                    THEN 0
+                    ELSE len(regexp_split_to_array(
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+               END AS n
         FROM documents) z),
 chx AS (SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS i FROM chn)
 SELECT 'exact_group' AS variant, md5(text) AS k,

@@ -68,10 +68,15 @@ def chunk_documents(
         raise ValueError("chunk_documents: need 0 <= overlap < budget")
     stride = budget - overlap
     carry = list(carry_cols or [])
+    # strip ALL whitespace classes, not F.trim (spaces only): a trailing
+    # newline would otherwise leave a phantom '' token, inflating
+    # n_tokens past the budget and emitting a spurious empty chunk
+    # (regex strip ≡ str.strip() — the flagship normalizer equivalence)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.when(
-        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.col(text_col).isNull() | (stripped == ""),
         F.array().cast("array<string>"),
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).otherwise(F.split(stripped, r"\s+"))
     base = df.select(F.col(id_col), *carry, toks.alias("__toks")).select(
         id_col,
         *carry,

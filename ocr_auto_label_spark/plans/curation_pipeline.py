@@ -192,10 +192,18 @@ def curate_corpus(
             deduped, target=(F.col(lang_col) == dsir_target_lang),
             id_col=id_col, text_col=text_col,
         )
-        mw = wts.select(
+        # materialize the weights once (the hashed-bigram job is the
+        # expensive part — three lazy consumers below would re-run it
+        # three times; ReusedExchange only dedups within one job) and
+        # keep them as an audit artifact beside the reports
+        wts_path = f"{output_dir}/dsir_weights"
+        wts.select(
             id_col,
+            "n_grams",
+            "avg_logweight",
             F.floor(F.col("avg_logweight") * 1000).cast("long").alias("mw"),
-        )
+        ).write.mode("overwrite").parquet(wts_path)
+        mw = spark.read.parquet(wts_path).select(id_col, "mw")
         thr_row = exact_group_quantiles(
             mw.withColumn("__g", F.lit(1)), "mw", "__g",
             percentiles=(100 - dsir_keep_percent,),
@@ -207,6 +215,7 @@ def curate_corpus(
         keep_ids = mw.filter(F.col("mw") >= thr_row["val"]).select(id_col)
         deduped = deduped.join(keep_ids, id_col, "left_semi")
         dsir_stats = {
+            "dsir_weights_path": wts_path,
             "dsir_threshold_milli": int(thr_row["val"]),
             "dsir_kept": keep_ids.count(),
         }
@@ -280,6 +289,11 @@ def curate_corpus(
             "n_packs": int(agg["n_packs"] or 0),
             "packed_docs": int(agg["n_docs"] or 0),
         }
+    if semantic_decontam_threshold is not None and embeddings is None:
+        raise ValueError(
+            "semantic_decontam_threshold requires embeddings — a silent "
+            "no-op would report a decontaminated corpus that never was"
+        )
     sem_decon_stats = {}
     if embeddings is not None and semantic_decontam_threshold is not None:
         from ocr_auto_label_spark.operators.similarity import (

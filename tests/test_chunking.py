@@ -39,6 +39,8 @@ def fixture_df(spark):
         (5, ""),                                     # blank → one empty chunk
         (6, None),                                   # NULL → one empty chunk
         (7, "   x   y  "),                           # untrimmed whitespace
+        (8, "a b c d e f g h\n\t "),                 # trailing non-space ws
+        (9, "\n\t"),                                 # whitespace-only, no space
     ]
     return spark.createDataFrame(rows, "doc_id long, text string"), rows
 

@@ -336,6 +336,21 @@ def test_curation_with_dsir_selection(spark, tmp_path):
     assert frac(got_kept) > frac(set(lang))
 
 
+def test_misconfigured_optional_stages_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with _pytest.raises(ValueError, match="requires embeddings"):
+        curate_corpus(spark, docs, str(tmp_path / "x1"),
+                      semantic_decontam_threshold=0.3, **GATES)
+    with _pytest.raises(ValueError, match="requires dsir_target_lang"):
+        curate_corpus(spark, docs, str(tmp_path / "x2"),
+                      dsir_keep_percent=40, **GATES)
+    with _pytest.raises(ValueError, match="keep_percent"):
+        curate_corpus(spark, docs, str(tmp_path / "x3"),
+                      dsir_target_lang="en", dsir_keep_percent=100, **GATES)
+
+
 def test_exact_dedup_rows_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "same text"), (1, "same text"), (2, "other"), (7, "same text")],
