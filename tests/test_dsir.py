@@ -83,6 +83,18 @@ def test_weights_separate_target_domain(spark, docs_rows):
     assert sum(en) / len(en) > sum(rest) / len(rest)
 
 
+def test_plan_is_jvm_side_with_bounded_broadcasts(spark):
+    """The scoring join must be a broadcast (the bucket table is ≤1024
+    rows by construction) and the whole plan JVM-side — no Python eval
+    of any kind in a pure column-math operator."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_logweights(df, target=(F.col("lang") == "en"))
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan  # neither Batch- nor Arrow-
+
+
 def test_short_docs_absent_and_bad_buckets_rejected(spark):
     df = spark.createDataFrame(
         [(1, "en", "one two three"), (2, "en", "solo"), (3, "de", "")],
