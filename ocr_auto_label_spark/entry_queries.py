@@ -899,6 +899,9 @@ def _main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         main_content_sql,
     )
 
+    from ocr_auto_label_spark.operators.dedup import remove_duplicated_spans
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
     path = transcripts_parquet(2_000)
     src = f"parquet.`{path}`"
     density = spark.sql(main_content_sql("spark", src)).select(
@@ -907,7 +910,76 @@ def _main_content_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_freq = spark.sql(line_freq_sql("spark", src)).select(
         F.lit("line_freq").alias("variant"), "*"
     )
-    return density.unionByName(line_freq)
+    # Lee et al. 2021 duplicated-substring REMOVAL (the transform behind
+    # the dup_span_frac signal): the REAL operator runs Spark-side, the
+    # driver hashes its rewritten text against the independent DuckDB
+    # replay below — counts normalized into the entry schema (n_lines =
+    # tokens before, n_kept = tokens after)
+    spans = remove_duplicated_spans(
+        ensure_parallelism(spark.read.parquet(path)), width=8
+    ).select(
+        F.lit("span_removal").alias("variant"),
+        "conv_id",
+        "turn_idx",
+        F.col("new_text").alias("main_text"),
+        F.col("n_tokens").alias("n_lines"),
+        F.col("n_kept_tokens").alias("n_kept"),
+        F.length("new_text").cast("long").alias("kept_chars"),
+    )
+    return density.unionByName(line_freq).unionByName(spans)
+
+
+def _span_removal_duck(source: str, width: int) -> str:
+    """Independent DuckDB replay of ``remove_duplicated_spans`` (Lee et
+    al. 2021 one-copy-survives substring dedup) normalized to the
+    main_content_extract schema."""
+    w = width
+    strip = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    return f"""
+WITH sr_base AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CASE WHEN text IS NULL OR {strip} = '' THEN []
+              ELSE regexp_split_to_array({strip}, '\\s+') END AS toks,
+         CASE WHEN text IS NULL OR {strip} = '' THEN 0
+              ELSE len(regexp_split_to_array({strip}, '\\s+')) END AS n
+  FROM {source}),
+sr_tok AS MATERIALIZED (
+  SELECT conv_id, turn_idx, u.pos AS pos, u.token AS token
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(pos := i - 1, token := toks[i]))) AS u
+        FROM sr_base) z),
+sr_occ AS MATERIALIZED (
+  SELECT conv_id, turn_idx, u.p AS p, u.span AS span,
+         concat(conv_id, '/', lpad(CAST(turn_idx AS VARCHAR), 12, '0'),
+                '/', lpad(CAST(u.p AS VARCHAR), 12, '0')) AS okey
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(range(1, greatest(n - {w} + 1, 0) + 1),
+                      i -> struct_pack(p := i - 1,
+                        span := array_to_string(list_slice(toks, i, i + {w} - 1), ' ')))) AS u
+        FROM sr_base) z),
+sr_stats AS MATERIALIZED (
+  SELECT span, count(*) AS c, min(okey) AS canon FROM sr_occ GROUP BY span),
+sr_cov AS (
+  SELECT DISTINCT conv_id, turn_idx, pos FROM (
+    SELECT o.conv_id, o.turn_idx, unnest(range(o.p, o.p + {w})) AS pos
+    FROM sr_occ o JOIN sr_stats s USING (span)
+    WHERE s.c > 1 AND o.okey <> s.canon) q),
+sr_kept AS (
+  SELECT t.conv_id, t.turn_idx, t.pos, t.token
+  FROM sr_tok t ANTI JOIN sr_cov c
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx AND t.pos = c.pos),
+sr_reb AS (
+  SELECT conv_id, turn_idx, string_agg(token, ' ' ORDER BY pos) AS nt,
+         count(*) AS nk
+  FROM sr_kept GROUP BY 1, 2)
+SELECT 'span_removal' AS variant, b.conv_id, b.turn_idx,
+       coalesce(r.nt, '') AS main_text,
+       CAST(b.n AS BIGINT) AS n_lines,
+       CAST(coalesce(r.nk, 0) AS BIGINT) AS n_kept,
+       CAST(length(coalesce(r.nt, '')) AS BIGINT) AS kept_chars
+FROM sr_base b LEFT JOIN sr_reb r USING (conv_id, turn_idx)
+"""
 
 
 def _main_content_duck() -> str:
@@ -921,7 +993,8 @@ def _main_content_duck() -> str:
     src = f"read_parquet('{path}/*.parquet')"
     return (
         f"SELECT 'density' AS variant, * FROM ({main_content_sql('duck', src)}) a "
-        f"UNION ALL SELECT 'line_freq' AS variant, * FROM ({line_freq_sql('duck', src)}) b"
+        f"UNION ALL SELECT 'line_freq' AS variant, * FROM ({line_freq_sql('duck', src)}) b "
+        f"UNION ALL SELECT * FROM ({_span_removal_duck(src, 8)}) c"
     )
 
 

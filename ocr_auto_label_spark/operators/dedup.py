@@ -385,3 +385,109 @@ def connected_components(
                 stacklevel=2,
             )
     return labels
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    width: int = 25,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-substring REMOVAL (Lee et al. 2021 §4, the transform the
+    ``duplicated_span_stats`` signal motivates): any exact ``width``-token
+    span occurring more than once in the corpus keeps exactly ONE copy —
+    the occurrence with the lexicographically-smallest occurrence key
+    ``key_cols/zero-padded position`` — and every other occurrence's
+    tokens are removed; each row's text is rebuilt from its surviving
+    tokens in order.  Overlapping duplicate occurrences union their
+    covered positions, so removal never double-counts.
+
+    Deterministic by construction (the canonical pick is a total order),
+    engine-portable (ASCII byte order), and all-integer/string — an
+    independent SQL replay matches byte-for-byte.
+
+    Scale shape: one span-keyed aggregate (count + min-key, both
+    map-side combined — hot boilerplate spans collapse per task before
+    the shuffle), one span equi-join back (AQE skew-splittable), a
+    coverage explode bounded by ``width × duplicate occurrences``, one
+    anti-join on (keys, pos), one per-row regroup.  Nothing is
+    all-pairs.  At PB scale, fingerprint the span to ``xxhash64`` for
+    the aggregate/join legs (narrower shuffle, same shape).
+
+    Output: ``(*key_cols, new_text, n_tokens, n_kept_tokens)`` — one row
+    per input row (rows losing every token, or empty to begin with, come
+    back with ``new_text = ''``).
+    """
+    if width <= 0:
+        raise ValueError("remove_duplicated_spans: width must be positive")
+    keys = list(key_cols)
+    # strip ALL whitespace classes (regexp ≡ str.strip(); F.trim is
+    # spaces-only and leaves phantom '' tokens on trailing newlines)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.when(
+        F.col(text_col).isNull() | (stripped == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(stripped, r"\s+"))
+    base = df.select(
+        *keys, toks.alias("__toks"), F.size(toks).alias("n_tokens")
+    )
+    tok = base.select(
+        *keys, F.posexplode(F.col("__toks")).alias("pos", "token")
+    )
+    span_structs = F.when(
+        F.col("n_tokens") >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - width),
+            lambda i: F.struct(
+                i.alias("p"),
+                F.array_join(
+                    F.slice(F.col("__toks"), i + 1, F.lit(width)), " "
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,span:string>>"))
+    okey = F.concat_ws(
+        "/",
+        *[F.lpad(F.col(c).cast("string"), 12, "0") if c != keys[0]
+          else F.col(c).cast("string") for c in keys],
+        F.lpad(F.col("p").cast("string"), 12, "0"),
+    )
+    occ = (
+        base.select(*keys, F.explode(span_structs).alias("s"))
+        .select(*keys, F.col("s.p").alias("p"), F.col("s.span").alias("span"))
+        .withColumn("okey", okey)
+    )
+    stats = occ.groupBy("span").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("canon")
+    )
+    covered = (
+        occ.join(stats, "span")
+        .filter((F.col("cnt") > 1) & (F.col("okey") != F.col("canon")))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + width - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [*keys, "pos"], "left_anti")
+    rebuilt = kept.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("token")))
+                ),
+                lambda x: x.token,
+            ),
+            " ",
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    return base.join(rebuilt, keys, "left").select(
+        *keys,
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0))
+        .cast("long").alias("n_kept_tokens"),
+    )
