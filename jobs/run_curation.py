@@ -53,6 +53,10 @@ def main() -> None:
                    help="with --semdedup-embeddings: also report eval docs "
                         "whose embedding is cosine-similar (>= this) to any "
                         "train doc's (LSH-blocked; recall < 1 by design)")
+    p.add_argument("--span-dedup-width", type=int, default=0,
+                   help="rewrite the corpus with duplicated-substring "
+                        "removal at this span width (Lee et al. 2021); "
+                        "0 = off")
     p.add_argument("--dsir-target-lang", default=None,
                    help="DSIR selection target domain (a lang value)")
     p.add_argument("--dsir-keep-percent", type=int, default=None,
@@ -85,6 +89,7 @@ def main() -> None:
             semantic_decontam_threshold=args.semantic_decontam_threshold,
             dsir_target_lang=args.dsir_target_lang,
             dsir_keep_percent=args.dsir_keep_percent,
+            span_dedup_width=args.span_dedup_width,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

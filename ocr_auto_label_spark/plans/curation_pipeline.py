@@ -103,6 +103,7 @@ def curate_corpus(
     dsir_target_lang: str | None = None,
     dsir_keep_percent: int | None = None,
     lang_col: str = "lang",
+    span_dedup_width: int = 0,
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -130,6 +131,12 @@ def curate_corpus(
     recall < 1 by design: only same-bucket pairs are compared, exactly
     like the ANN probe), and the report rows carry each contaminated
     eval doc's best train partner and cosine.
+    With ``span_dedup_width > 0`` the corpus text is REWRITTEN between
+    dedup and the split by duplicated-substring removal
+    (``remove_duplicated_spans``, Lee et al. 2021 §4): exact-dup dedup
+    drops whole-document copies, this drops the repeated PASSAGES inside
+    otherwise-unique docs (one canonical copy survives corpus-wide); the
+    summary gains ``span_tokens_before``/``span_tokens_after``.
     With ``dsir_keep_percent`` (+ ``dsir_target_lang``) a DSIR data
     SELECTION stage runs before the split: per-doc hashed-bigram
     importance weights (``dsir_logweights``), milli-quantized, and only
@@ -168,6 +175,49 @@ def curate_corpus(
         # the measured size (the unigram_nll lesson, ADVICE r3)
         sem_stats = {"semantic_evicted_ids": evict_ids.count()}
         deduped = deduped.join(evict_ids, id_col, "left_anti")
+    if span_dedup_width > 0:
+        # duplicated-substring removal (Lee et al. 2021 §4): rewrite each
+        # surviving doc's text with all non-canonical copies of every
+        # >1x-occurring span removed — exact-dup dedup drops whole-doc
+        # copies, this drops the repeated PASSAGES inside otherwise-unique
+        # docs.  Runs before the split so eval/train see the same rewrite.
+        from ocr_auto_label_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        rewritten = remove_duplicated_spans(
+            deduped, width=span_dedup_width, key_cols=(id_col,),
+            text_col=text_col,
+        )
+        # token totals ride an Observation instead of a dedicated agg
+        # job (which would re-run the whole span chain just for two
+        # sums); it fires on the first downstream action, and every
+        # firing sees the same deterministic frame, so first-wins is safe
+        obs_span = Observation("curate_span")
+        deduped = (
+            deduped.drop(text_col)
+            .join(
+                rewritten.select(
+                    id_col,
+                    F.col("new_text").alias(text_col),
+                    "n_tokens",
+                    "n_kept_tokens",
+                ),
+                id_col,
+            )
+            .observe(
+                obs_span,
+                F.sum("n_tokens").alias("before"),
+                F.sum("n_kept_tokens").alias("after"),
+            )
+            .drop("n_tokens", "n_kept_tokens")
+        )
+        span_stats_get = lambda: {
+            "span_tokens_before": int(obs_span.get["before"] or 0),
+            "span_tokens_after": int(obs_span.get["after"] or 0),
+        }
+    else:
+        span_stats_get = dict
     dsir_stats = {}
     if dsir_keep_percent is not None:
         # DSIR data SELECTION (Xie et al. 2023): keep the docs that look
@@ -385,6 +435,7 @@ def curate_corpus(
         **chunk_stats,
         **sem_stats,
         **sem_decon_stats,
+        **span_stats_get(),
         **dsir_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],

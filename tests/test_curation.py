@@ -336,6 +336,39 @@ def test_curation_with_dsir_selection(spark, tmp_path):
     assert frac(got_kept) > frac(set(lang))
 
 
+def test_curation_with_span_dedup_rewrite(spark, tmp_path):
+    """span_dedup_width rewrites the corpus text (Lee et al. removal on
+    the gated+deduped set — verified against test_span_removal's python
+    twin) — and at width == ngram_n it empties the n-gram contamination
+    report: a span surviving exactly once corpus-wide cannot sit in both
+    a train and an eval doc (new token adjacencies could in principle
+    mint colliding grams; none occur on this corpus)."""
+    from test_span_removal import _py_remove_spans
+
+    out = str(tmp_path / "spandd")
+    base_out = str(tmp_path / "spandd_base")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = curate_corpus(spark, docs, base_out, **GATES)
+    assert base["contaminated_docs"] > 0  # the fixture IS contaminated
+    summary = curate_corpus(
+        spark, docs, out, span_dedup_width=13, **GATES
+    )
+    assert summary["contaminated_docs"] == 0
+    assert summary["contaminated_grams"] == 0
+    assert summary["span_tokens_after"] < summary["span_tokens_before"]
+    # text equality vs the python twin applied to the baseline curated set
+    base_rows = {
+        (r.doc_id,): r.text
+        for r in spark.read.parquet(f"{base_out}/curated").collect()
+    }
+    want = _py_remove_spans(base_rows, 13)
+    got = {
+        (r.doc_id,): r.text
+        for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    assert got == {k: t for k, (t, _, _) in want.items()}
+
+
 def test_misconfigured_optional_stages_raise(spark, tmp_path):
     import pytest as _pytest
 

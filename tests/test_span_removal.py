@@ -18,18 +18,22 @@ W = 8
 
 
 def _py_remove_spans(rows: dict, width: int):
-    """rows: {(conv_id, turn_idx): text}.  Independent implementation:
-    dict-of-occurrences, canonical by padded key, interval union."""
+    """rows: {key_tuple: text} (any arity; first component unpadded,
+    the rest zero-padded — mirroring the operator's occurrence key).
+    Independent implementation: dict-of-occurrences, canonical by
+    padded key, interval union."""
     toks = {
         k: ([] if t is None or t.strip() == "" else re.split(r"\s+", t.strip()))
         for k, t in rows.items()
     }
     occs = defaultdict(list)  # span -> [(okey, key, p)]
-    for (conv, turn), ts in toks.items():
+    for key, ts in toks.items():
         for p in range(max(len(ts) - width + 1, 0)):
             span = " ".join(ts[p:p + width])
-            okey = f"{conv}/{turn:012d}/{p:012d}"
-            occs[span].append((okey, (conv, turn), p))
+            okey = "/".join(
+                [str(key[0])] + [f"{x:012d}" for x in key[1:]] + [f"{p:012d}"]
+            )
+            occs[span].append((okey, key, p))
     covered = defaultdict(set)  # key -> positions
     for span, lst in occs.items():
         if len(lst) < 2:
