@@ -130,6 +130,7 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_span_stats,
         exact_group_quantiles,
         repetition_stats,
+        tfidf_top_terms,
         unigram_nll,
     )
     from ocr_auto_label_spark.operators.util import ensure_parallelism
@@ -198,9 +199,19 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").alias("cnt"),
         (F.floor(F.col("avg_logweight") * 1000) / 1000).alias("val"),
     )
+    # per-doc top-3 TF-IDF keywords (ratio-form idf so score doubles are
+    # bit-stable cross-engine — compared RAW, no quantization needed)
+    tfidf = tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf_top3").alias("variant"),
+        F.concat_ws("/", F.col("doc_id"), F.col("rank"), F.col("term"))
+        .alias("k"),
+        F.col("tf").alias("cnt"),
+        F.col("score").alias("val"),
+    )
     return (
         long_stats.unionByName(nll).unionByName(dup).unionByName(top)
         .unionByName(qs).unionByName(spans).unionByName(dsir)
+        .unionByName(tfidf)
     )
 
 
@@ -274,7 +285,22 @@ dlw AS (
   SELECT bucket,
          ln((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
            - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)) AS lw
-  FROM ddist CROSS JOIN dtot)
+  FROM ddist CROSS JOIN dtot),
+ttf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter({_duck_tokens('text')}, w -> w <> '')) AS term
+        FROM documents) z
+  GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS dfc FROM ttf GROUP BY term),
+tn AS (SELECT count(*) AS n_docs FROM documents),
+trk AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk,
+         score
+  FROM (SELECT t.doc_id, t.term, t.tf,
+               CAST(t.tf AS DOUBLE) * (tn.n_docs + 1) / (d.dfc + 1) AS score
+        FROM ttf t JOIN tdf d USING (term) CROSS JOIN tn) s)
 {unions}
 UNION ALL
 SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
@@ -304,6 +330,11 @@ SELECT 'dsir_logweight' AS variant, CAST(o.doc_id AS VARCHAR) AS k,
        CAST(sum(o.k) AS BIGINT) AS cnt,
        floor((sum(o.k * l.lw) / sum(o.k)) * 1000) / 1000 AS val
 FROM docc o JOIN dlw l USING (bucket) GROUP BY o.doc_id
+UNION ALL
+SELECT 'tfidf_top3' AS variant,
+       concat(doc_id, '/', rk, '/', term) AS k,
+       CAST(tf AS BIGINT) AS cnt, score AS val
+FROM trk WHERE rk <= 3
 """
 
 

@@ -431,3 +431,60 @@ def unigram_nll(
         F.count(F.lit(1)).alias("token_cnt"),
         avg.alias("avg_nll"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords.
+
+    Score = ``tf · (N + 1)/(df + 1)`` — the RATIO idf form rather than
+    the log form, deliberately: the score is then one integer-to-double
+    multiply and one correctly-rounded division, so every value (and
+    therefore every ranking comparison) is bit-identical across engines
+    — a log-form idf differs by libm ulps between JVM and C and can flip
+    the order of two nearly-tied terms, which no quantization of a SORT
+    KEY can repair.  Ties (exactly equal doubles, e.g. same (tf, df))
+    break by term ascending; ranking is therefore a total order.
+
+    Scale shape: one (doc, term) count (map-side combined), one term-df
+    aggregate over it (cardinality = vocabulary), one term equi-join
+    back (AQE skew-splittable on stopword-grade hot terms), a 1-row
+    broadcast for N, and a per-doc window bounded by the doc's distinct
+    terms.  Output: ``(id_col, rank, term, tf, df_cnt, score)``.
+    """
+    if k <= 0:
+        raise ValueError("tfidf_top_terms: k must be positive")
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    totals = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df_cnt") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_cnt").cast("long").alias("df_cnt"),
+            "score",
+        )
+    )
