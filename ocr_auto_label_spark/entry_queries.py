@@ -1029,6 +1029,86 @@ def _main_content_duck() -> str:
     )
 
 
+_SEARCH_POSTING_TERMS = ("merge", "spark", "window")
+_SEARCH_MUST_TERMS = ["merge", "spark", "window"]
+_F1_F5_BASE_SQL = (
+    "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
+    "round(sum(value), 4) AS val "
+    "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type "
+    "UNION ALL "
+    "SELECT 'search' AS variant, CAST(doc_id AS {str_t}) AS k, "
+    "CAST(n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val "
+    "FROM documents WHERE text LIKE '%spark%' AND lang = 'en'"
+)
+
+
+def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F6 status-set agg + F5 contains-search (images.ts:143-149)
+    PLUS the shape the contains-scan grows into at 10¹² docs: an
+    inverted index (term → df + sorted postings) and an index-backed
+    boolean AND query answered by posting intersection — no text scan
+    at query time (operators/search.py).  Variants:
+
+    - ``posting``: k = term, cnt = df, val = Σ posting ids (an exact
+      integer-valued double — the postings checksum);
+    - ``bool_search``: docs containing ALL of {merge, spark, window},
+      k = doc_id, cnt = the doc's n_chars."""
+    from ocr_auto_label_spark.operators.search import (
+        boolean_search,
+        build_inverted_index,
+    )
+
+    load_views(spark, sf_dir)
+    base = spark.sql(_F1_F5_BASE_SQL.format(str_t="STRING"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_inverted_index(docs)
+    posting = idx.filter(
+        F.col("term").isin(list(_SEARCH_POSTING_TERMS))
+    ).select(
+        F.lit("posting").alias("variant"),
+        F.col("term").alias("k"),
+        F.col("df_cnt").alias("cnt"),
+        F.expr(
+            "CAST(aggregate(postings, 0L, (s, x) -> s + x) AS DOUBLE)"
+        ).alias("val"),
+    )
+    found = boolean_search(idx, _SEARCH_MUST_TERMS).join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).select(
+        F.lit("bool_search").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_chars").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return base.unionByName(posting).unionByName(found)
+
+
+def _f1_f5_suite_duck() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_POSTING_TERMS)
+    must = ", ".join(f"'{t}'" for t in _SEARCH_MUST_TERMS)
+    base = _F1_F5_BASE_SQL.format(str_t="VARCHAR")
+    return f"""
+WITH ipairs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_duck_tokens('text')}) AS term FROM documents) z
+  WHERE term <> ''),
+iidx AS (SELECT term, count(*) AS dfc, sum(doc_id) AS chk
+         FROM ipairs GROUP BY term)
+{base}
+UNION ALL
+SELECT 'posting' AS variant, term AS k, CAST(dfc AS BIGINT) AS cnt,
+       CAST(chk AS DOUBLE) AS val
+FROM iidx WHERE term IN ({terms})
+UNION ALL
+SELECT 'bool_search' AS variant, CAST(d.doc_id AS VARCHAR) AS k,
+       CAST(d.n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val
+FROM documents d JOIN (
+  SELECT doc_id FROM ipairs WHERE term IN ({must})
+  GROUP BY doc_id HAVING count(*) = {len(_SEARCH_MUST_TERMS)}) m
+ON d.doc_id = m.doc_id
+"""
+
+
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_auto_label_spark.operators.range_join import time_range_self_join
 
@@ -2358,23 +2438,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     ),
     # --- filters / projections (F1-F8); F1/F6 status-set agg + F5
     # contains-search merged to one variant union (slot freed for the
-    # flagship SQL twin, VERDICT r3 #2) ---
-    "f1_f5_filter_suite": (
-        "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
-        "round(sum(value), 4) AS val "
-        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type "
-        "UNION ALL "
-        "SELECT 'search' AS variant, CAST(doc_id AS STRING) AS k, "
-        "CAST(n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val "
-        "FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
-        "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
-        "round(sum(value), 4) AS val "
-        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type "
-        "UNION ALL "
-        "SELECT 'search' AS variant, CAST(doc_id AS VARCHAR) AS k, "
-        "CAST(n_chars AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val "
-        "FROM documents WHERE text LIKE '%spark%' AND lang = 'en'",
-    ),
+    # flagship SQL twin, VERDICT r3 #2); r4 adds the index-backed search
+    # the contains-scan grows into at corpus scale ---
+    "f1_f5_filter_suite": (_f1_f5_suite, _f1_f5_suite_duck()),
     "f3_projection_pushdown": (
         "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150.0",
         "same",
