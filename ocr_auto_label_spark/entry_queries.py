@@ -1030,7 +1030,9 @@ def _main_content_duck() -> str:
 
 
 _SEARCH_POSTING_TERMS = ("merge", "spark", "window")
-_SEARCH_MUST_TERMS = ["merge", "spark", "window"]
+# the AND query probes exactly the posting-variant terms — one constant,
+# so the two variants can't silently diverge
+_SEARCH_MUST_TERMS = list(_SEARCH_POSTING_TERMS)
 _F1_F5_BASE_SQL = (
     "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
     "round(sum(value), 4) AS val "
@@ -1058,9 +1060,15 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_inverted_index,
     )
 
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
     load_views(spark, sf_dir)
     base = spark.sql(_F1_F5_BASE_SQL.format(str_t="STRING"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-file scan: the index build's tokenize+explode map
+    # side is the CPU-dense part (no-op on multi-file production layouts)
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     idx = build_inverted_index(docs)
     posting = idx.filter(
         F.col("term").isin(list(_SEARCH_POSTING_TERMS))

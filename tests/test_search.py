@@ -45,9 +45,27 @@ def test_boolean_and_search(spark):
         want &= set(post[t])
     got = {r.id for r in boolean_search(idx, must).collect()}
     assert got == want and 0 < len(got) < len(rows)
+    # query terms are normalized like the index's tokens
+    assert {r.id for r in boolean_search(idx, ["Merge", "SPARK", "window"])
+            .collect()} == want
     # a term absent from the corpus empties an AND query
     assert boolean_search(idx, ["merge", "zzz_not_a_word"]).count() == 0
     with pytest.raises(ValueError):
         boolean_search(idx, [])
     with pytest.raises(ValueError):
         boolean_search(idx, ["merge", "merge"])
+    with pytest.raises(ValueError):
+        boolean_search(idx, ["merge", "MERGE"])  # collapse post-lowering
+
+
+def test_max_df_excludes_hot_terms_at_build_time(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    post = _py_index(rows)
+    cut = max(len(v) for v in post.values()) - 1  # drop only the hottest tier
+    got = {r.term: (r.df_cnt, list(r.postings))
+           for r in build_inverted_index(df, max_df=cut).collect()}
+    want = {t: (len(ids), ids) for t, ids in post.items() if len(ids) <= cut}
+    assert got == want and len(want) < len(post)
+    with pytest.raises(ValueError):
+        build_inverted_index(df, max_df=0)
