@@ -1033,6 +1033,14 @@ _SEARCH_POSTING_TERMS = ("merge", "spark", "window")
 # the AND query probes exactly the posting-variant terms — one constant,
 # so the two variants can't silently diverge
 _SEARCH_MUST_TERMS = list(_SEARCH_POSTING_TERMS)
+# "table hash" occurs ~48× across ~46 docs at sf0.01 — a phrase query
+# with both multi-doc hits and a repeat-within-doc hit
+_PHRASE_TERMS = ("table", "hash")
+# CMS probes: the query terms, the phrase words, and one absent term
+# (exercises the missing-cell → 0 path, modulo collisions, identically
+# in both engines)
+_CMS_PROBE_TERMS = ("merge", "spark", "window", "table", "zzz_absent")
+_BM25_TOP_K = 25
 _F1_F5_BASE_SQL = (
     "SELECT 'status_agg' AS variant, event_type AS k, count(*) AS cnt, "
     "round(sum(value), 4) AS val "
@@ -1054,11 +1062,25 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``posting``: k = term, cnt = df, val = Σ posting ids (an exact
       integer-valued double — the postings checksum);
     - ``bool_search``: docs containing ALL of {merge, spark, window},
-      k = doc_id, cnt = the doc's n_chars."""
+      k = doc_id, cnt = the doc's n_chars;
+    - ``bm25``: ranked retrieval over the same query — ratio-idf BM25
+      (bit-exact doubles cross-engine, operators/search.py:bm25_search),
+      global top-25 by (score DESC, id), k = doc_id, cnt = doc length;
+    - ``phrase``: positional-index exact-phrase query "table hash",
+      k = doc_id, cnt = number of start positions;
+    - ``cms``: count-min-sketch point estimates (operators/sketch.py,
+      grid rebuilt bit-exactly in DuckDB via the staged XXH64 SQL) for
+      five probe terms, k = term, cnt = estimate, val = true count —
+      the CMS one-sided-error invariant (cnt ≥ val) is driver-visible.
+    """
     from ocr_auto_label_spark.operators.search import (
+        bm25_search,
         boolean_search,
         build_inverted_index,
+        phrase_search,
     )
+    from ocr_auto_label_spark.operators.sketch import cms_build, cms_estimate
+    from ocr_auto_label_spark.operators.textstats import word_tokens
 
     from ocr_auto_label_spark.operators.util import ensure_parallelism
 
@@ -1088,20 +1110,158 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("cnt"),
         F.lit(None).cast("double").alias("val"),
     )
-    return base.unionByName(posting).unionByName(found)
+    bm = bm25_search(docs, _SEARCH_MUST_TERMS, top_k=_BM25_TOP_K).select(
+        F.lit("bm25").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("dl").cast("long").alias("cnt"),
+        F.col("score").alias("val"),
+    )
+    ph = phrase_search(docs, list(_PHRASE_TERMS)).select(
+        F.lit("phrase").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_match").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    probe_terms = list(_CMS_PROBE_TERMS)
+    truec = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    word_tokens(F.col("text")), lambda w: w != F.lit("")
+                )
+            ).alias("term")
+        )
+        .filter(F.col("term").isin(probe_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    cms = (
+        cms_estimate(cms_build(docs), probe_terms)
+        .join(truec, "term", "left")
+        .select(
+            F.lit("cms").alias("variant"),
+            F.col("term").alias("k"),
+            F.col("est").cast("long").alias("cnt"),
+            F.coalesce(F.col("true_cnt"), F.lit(0))
+            .cast("double")
+            .alias("val"),
+        )
+    )
+    return (
+        base.unionByName(posting)
+        .unionByName(found)
+        .unionByName(bm)
+        .unionByName(ph)
+        .unionByName(cms)
+    )
 
 
 def _f1_f5_suite_duck() -> str:
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        xxh64_int4_py,
+        xxh64_str_staged_sql,
+    )
+    from ocr_auto_label_spark.operators.search import BM25_B, BM25_K1
+    from ocr_auto_label_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
     terms = ", ".join(f"'{t}'" for t in _SEARCH_POSTING_TERMS)
     must = ", ".join(f"'{t}'" for t in _SEARCH_MUST_TERMS)
     base = _F1_F5_BASE_SQL.format(str_t="VARCHAR")
+
+    # ---- bm25: replicate bm25_search's exact IEEE op tree (constants
+    # folded in Python exactly as the operator folds them) ------------
+    k1, b = BM25_K1, BM25_B
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    avgdl = "(CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    idf = (
+        "((CAST(s.n_docs - f.df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)) / "
+        "(CAST(f.df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    )
+    sat = (
+        f"((CAST(t.tf AS DOUBLE) * CAST({k1p1!r} AS DOUBLE)) / "
+        f"(CAST(t.tf AS DOUBLE) + CAST({k1!r} AS DOUBLE) * "
+        f"(CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * "
+        f"(CAST(l.dl AS DOUBLE) / {avgdl}))))"
+    )
+    # fixed left-to-right per-term sum (SQL + is left-associative, the
+    # same tree the operator builds)
+    score = " + ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN contrib END), "
+        "CAST(0 AS DOUBLE))"
+        for t in _SEARCH_MUST_TERMS
+    )
+
+    # ---- phrase: positional legs joined on (doc, start) --------------
+    ph_from = (
+        f"(SELECT doc_id, pos AS start FROM ipos "
+        f"WHERE term = '{_PHRASE_TERMS[0]}') p0"
+    )
+    for i, t in enumerate(_PHRASE_TERMS[1:], start=1):
+        ph_from += (
+            f" JOIN (SELECT doc_id, pos - {i} AS start FROM ipos "
+            f"WHERE term = '{t}') p{i} "
+            f"ON p0.doc_id = p{i}.doc_id AND p0.start = p{i}.start"
+        )
+
+    # ---- cms: rebuild the grid per hash row from the distinct vocab --
+    # (hash once per distinct term × row — the distinct-vocab trick —
+    # then weight by occurrence count); row j's seed is Spark's chained
+    # xxhash64: the IntegerType child j hashed 4-byte-LE with seed 42
+    probes_vals = ", ".join(f"('{t}')" for t in _CMS_PROBE_TERMS)
+    cms_ctes = []
+    est_legs = []
+    for j in range(CMS_DEPTH):
+        # HUGEINT cast up front: a bare 19-digit literal parses as
+        # BIGINT and overflows INT64 inside the first seed addition
+        seed = f"CAST({xxh64_int4_py(j, 42)} AS HUGEINT)"
+        vh = xxh64_str_staged_sql("FROM icnt", "term", seed)
+        pb = xxh64_str_staged_sql("FROM iprobes", "term", seed)
+        cms_ctes.append(
+            f"igr{j} AS (SELECT CAST(__xxh_u % {CMS_WIDTH} AS BIGINT) AS "
+            f"bucket, sum(cnt) AS gcnt FROM ({vh}) zv{j} GROUP BY 1)"
+        )
+        cms_ctes.append(
+            f"ipb{j} AS (SELECT term, CAST(__xxh_u % {CMS_WIDTH} AS BIGINT)"
+            f" AS bucket FROM ({pb}) zp{j})"
+        )
+        est_legs.append(
+            f"SELECT p.term, coalesce(g.gcnt, 0) AS c "
+            f"FROM ipb{j} p LEFT JOIN igr{j} g USING (bucket)"
+        )
+    cms_with = ",\n".join(cms_ctes)
+    est_union = " UNION ALL ".join(est_legs)
+
     return f"""
-WITH ipairs AS MATERIALIZED (
-  SELECT DISTINCT doc_id, term FROM (
-    SELECT doc_id, unnest({_duck_tokens('text')}) AS term FROM documents) z
-  WHERE term <> ''),
+WITH ifl AS MATERIALIZED (
+  SELECT doc_id, list_filter({_duck_tokens('text')}, w -> w <> '') AS toks
+  FROM documents),
+itoks AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM ifl),
+ipairs AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM itoks),
 iidx AS (SELECT term, count(*) AS dfc, sum(doc_id) AS chk
-         FROM ipairs GROUP BY term)
+         FROM ipairs GROUP BY term),
+idl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM itoks
+                     GROUP BY doc_id),
+istat AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM idl),
+itf AS (SELECT doc_id, term, count(*) AS tf FROM itoks
+        WHERE term IN ({must}) GROUP BY doc_id, term),
+idft AS (SELECT term, count(*) AS df_t FROM itf GROUP BY term),
+ibm AS (SELECT t.doc_id, l.dl, t.term, {idf} * {sat} AS contrib
+        FROM itf t JOIN idft f USING (term)
+        JOIN idl l ON t.doc_id = l.doc_id CROSS JOIN istat s),
+ibm2 AS (SELECT doc_id, dl, {score} AS score
+         FROM ibm GROUP BY doc_id, dl),
+ibm3 AS (SELECT doc_id, dl, score FROM ibm2
+         ORDER BY score DESC, doc_id LIMIT {_BM25_TOP_K}),
+ipos AS MATERIALIZED (
+  SELECT doc_id, pos, toks[pos + 1] AS term FROM (
+    SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM ifl) zp),
+iph AS (SELECT p0.doc_id, count(*) AS n_match FROM {ph_from}
+        GROUP BY p0.doc_id),
+icnt AS MATERIALIZED (SELECT term, count(*) AS cnt FROM itoks
+                      GROUP BY term),
+iprobes AS (SELECT * FROM (VALUES {probes_vals}) v(term)),
+{cms_with},
+iest AS (SELECT term, min(c) AS est FROM ({est_union}) u GROUP BY term)
 {base}
 UNION ALL
 SELECT 'posting' AS variant, term AS k, CAST(dfc AS BIGINT) AS cnt,
@@ -1114,6 +1274,17 @@ FROM documents d JOIN (
   SELECT doc_id FROM ipairs WHERE term IN ({must})
   GROUP BY doc_id HAVING count(*) = {len(_SEARCH_MUST_TERMS)}) m
 ON d.doc_id = m.doc_id
+UNION ALL
+SELECT 'bm25' AS variant, CAST(doc_id AS VARCHAR) AS k,
+       CAST(dl AS BIGINT) AS cnt, score AS val FROM ibm3
+UNION ALL
+SELECT 'phrase' AS variant, CAST(doc_id AS VARCHAR) AS k,
+       CAST(n_match AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val
+FROM iph
+UNION ALL
+SELECT 'cms' AS variant, e.term AS k, CAST(e.est AS BIGINT) AS cnt,
+       CAST(coalesce(t.cnt, 0) AS DOUBLE) AS val
+FROM iest e LEFT JOIN icnt t USING (term)
 """
 
 

@@ -1,0 +1,130 @@
+"""Count-min sketch over a token stream: fixed-size, mergeable term-
+frequency state with point-query estimates.
+
+Why a CMS at 10¹²-turn scale: an exact term→count table over a web-scale
+corpus is itself corpus-sized (the vocabulary of 100 TB of text does not
+fit an executor), while a CMS is a CONSTANT-size (depth × width) integer
+grid whose cells are plain sums — perfectly map-side combinable, and two
+sketches over different data slices merge by cell-wise addition, so the
+same operator serves batch partitions and streaming micro-batches
+(upgrade path: keep the grid as applyInPandasWithState state).  The
+price is one-sided error: estimates only ever OVER-count (collisions add
+mass), with the classic (ε, δ) bound width = e/ε, depth = ln(1/δ).
+
+Hash family: row j uses Spark's chained ``xxhash64(j, term)`` — the
+IntegerType child hashes 4-byte-LE with seed 42 and its hash seeds the
+term's string hash (functions/xxh64_sql.py replays both stages in SQL,
+so a DuckDB oracle can rebuild the exact grid).  With a power-of-two
+``width``, ``pmod(signed_hash, width)`` equals the unsigned hash mod
+width (2⁶⁴ ≡ 0 mod 2^k), which keeps the oracle a one-liner.
+
+Reference tie-in: the reference counts term/label frequencies exactly on
+one node (e.g. duplicate-name tallies, app.ts:214-230); this is the
+bounded-memory shape those tallies must take at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_auto_label_spark.operators.textstats import word_tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _bucket(j: int, term, width: int):
+    # chained xxhash64: int row index (4-byte LE, seed 42) seeds the
+    # term's string hash — the family the SQL oracle replays bit-exactly
+    return F.pmod(
+        F.xxhash64(F.lit(j).cast("int"), term), F.lit(width)
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row_j, bucket, cnt) — the non-empty cells of the depth×width
+    grid counting every token OCCURRENCE (not distinct) in ``text_col``.
+
+    One tokenize+explode pass; each token fans out to ``depth`` cells in
+    a generated array (no per-row Python anywhere), then a single
+    map-side-combined aggregation — ≤ depth·width result rows no matter
+    the corpus size.  Absent cells mean count 0."""
+    if depth < 1 or width < 1:
+        raise ValueError("cms_build: depth and width must be >= 1")
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    cells = df.select(F.explode(toks).alias("term")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        _bucket(j, F.col("term"), width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row_j", "c.bucket")
+        .groupBy("row_j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two same-shaped sketches — the property that
+    makes the CMS a distributed/streaming counter: sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)) exactly, for any split of the data."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probe_terms: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(term, est) point queries: est = min over rows j of the probed
+    cell, the standard CMS estimator (never under the true count).
+
+    The probe side is a tiny literal frame (depth × |probe_terms| rows)
+    and the sketch is broadcast — it is ≤ depth·width rows by
+    construction, the whole point of the structure — so a missing cell
+    reads as 0 through a left join with no shuffle.  ``depth``/``width``
+    must match the build call — the sketch carries no header row by
+    design (it stays a pure cell table so merges are unions)."""
+    if not probe_terms:
+        raise ValueError("cms_estimate: probe_terms must be non-empty")
+    terms = [t.lower() for t in probe_terms]
+    if len(set(terms)) != len(terms):
+        raise ValueError("cms_estimate: probe_terms must be distinct")
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    cells = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        _bucket(j, F.col("term"), width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "c.row_j", "c.bucket")
+    hit = cells.join(
+        F.broadcast(sketch), ["row_j", "bucket"], "left"
+    ).select("term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    return hit.groupBy("term").agg(F.min("cnt").alias("est"))

@@ -1,5 +1,6 @@
-"""Inverted index + boolean search (operators/search.py) vs a
-from-scratch Python twin; AND semantics edge cases."""
+"""Inverted index + boolean/BM25/phrase search (operators/search.py)
+vs from-scratch Python twins; AND semantics edge cases; BM25 score
+bit-exactness (the twin replays the operator's exact IEEE op tree)."""
 
 from __future__ import annotations
 
@@ -9,9 +10,48 @@ from collections import defaultdict
 import pytest
 
 from ocr_auto_label_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_search,
     boolean_search,
     build_inverted_index,
+    phrase_search,
 )
+
+
+def _py_tokens(text):
+    return [w for w in re.split(r"\s+", text.strip().lower()) if w]
+
+
+def _py_bm25(rows, terms, k1=BM25_K1, b=BM25_B):
+    """Twin of bm25_search: ratio-idf × tf-saturation, contributions
+    added in query-term order — every float op in the same order as the
+    operator, so equality below is EXACT, not approx."""
+    toks = {d: _py_tokens(t) for d, t in rows}
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    n, tot = len(dl), sum(dl.values())
+    avgdl = float(tot) / float(n)
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    dft = {
+        w: sum(1 for d in dl if w in toks[d]) for w in terms
+    }
+    out = {}
+    for d in dl:
+        score, hit = 0.0, False
+        for w in terms:
+            f = toks[d].count(w)
+            if f == 0 or dft[w] == 0:
+                score = score + 0.0
+                continue
+            hit = True
+            idf = (float(n - dft[w]) + 0.5) / (float(dft[w]) + 0.5)
+            sat = (float(f) * k1p1) / (
+                float(f) + k1 * (omb + b * (float(dl[d]) / avgdl))
+            )
+            score = score + idf * sat
+        if hit:
+            out[d] = (dl[d], score)
+    return out
 
 
 def _py_index(rows):
@@ -56,6 +96,66 @@ def test_boolean_and_search(spark):
         boolean_search(idx, ["merge", "merge"])
     with pytest.raises(ValueError):
         boolean_search(idx, ["merge", "MERGE"])  # collapse post-lowering
+
+
+def test_bm25_scores_bit_exact_vs_python_twin(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    terms = ["merge", "spark", "window"]
+    want = _py_bm25(rows, terms)
+    got = {r.id: (r.dl, r.score) for r in bm25_search(df, terms).collect()}
+    assert got == want  # exact == on the doubles, no tolerance
+    # a query term absent from the corpus contributes exactly 0.0
+    got2 = {
+        r.id: (r.dl, r.score)
+        for r in bm25_search(df, terms + ["zzz_absent"]).collect()
+    }
+    assert got2 == _py_bm25(rows, terms + ["zzz_absent"])
+    # top_k cuts by (score DESC, id ASC) — the global head of the twin
+    top = bm25_search(df, terms, top_k=7).collect()
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert [(r.id, (r.dl, r.score)) for r in top] == ordered[:7]
+    with pytest.raises(ValueError):
+        bm25_search(df, [])
+    with pytest.raises(ValueError):
+        bm25_search(df, ["a", "A"])
+    with pytest.raises(ValueError):
+        bm25_search(df, terms, top_k=0)
+
+
+def _py_phrase(rows, phrase):
+    out = {}
+    for d, t in rows:
+        ws = _py_tokens(t)
+        n = sum(
+            1
+            for i in range(len(ws) - len(phrase) + 1)
+            if ws[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+def test_phrase_search_matches_python_twin(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in df.collect()]
+    for phrase in (["table", "hash"], ["key", "agg", "row"]):
+        want = _py_phrase(rows, phrase)
+        got = {
+            r.id: r.n_match for r in phrase_search(df, phrase).collect()
+        }
+        assert got == want, phrase
+    assert len(_py_phrase(rows, ["table", "hash"])) > 0
+    # repeated-word phrases join the same posting leg shifted — still
+    # exact (e.g. "a a" hits consecutive identical tokens)
+    want = _py_phrase(rows, ["a", "a"])
+    got = {
+        r.id: r.n_match for r in phrase_search(df, ["a", "a"]).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        phrase_search(df, ["solo"])
 
 
 def test_max_df_excludes_hot_terms_at_build_time(spark):
