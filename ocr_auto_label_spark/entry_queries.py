@@ -130,6 +130,7 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_span_stats,
         exact_group_quantiles,
         repetition_stats,
+        stupid_backoff_scores,
         tfidf_top_terms,
         unigram_nll,
     )
@@ -208,10 +209,22 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").alias("cnt"),
         F.col("score").alias("val"),
     )
+    # Stupid-Backoff bigram LM scoring (Brants et al. 2007): model =
+    # the English slice, every doc scored against it.  Mean conditional
+    # PROBABILITY (not log) + ordered left-fold ⇒ the raw double is
+    # bit-identical cross-engine and compared UNQUANTIZED.
+    sbo = stupid_backoff_scores(
+        docs, model_predicate=(F.col("lang") == "en")
+    ).select(
+        F.lit("sbo_meanprob").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("token_cnt").alias("cnt"),
+        F.col("sbo_mean").alias("val"),
+    )
     return (
         long_stats.unionByName(nll).unionByName(dup).unionByName(top)
         .unionByName(qs).unionByName(spans).unionByName(dsir)
-        .unionByName(tfidf)
+        .unionByName(tfidf).unionByName(sbo)
     )
 
 
@@ -286,6 +299,38 @@ dlw AS (
          ln((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
            - ln((raw_cnt + 1.0) / (raw_tot + 1024.0)) AS lw
   FROM ddist CROSS JOIN dtot),
+spos AS MATERIALIZED (
+  SELECT doc_id, (lang = 'en') AS is_model, pos,
+         CASE WHEN pos = 0 THEN NULL ELSE t[pos] END AS w1,
+         t[pos + 1] AS w2
+  FROM (SELECT doc_id, lang, t, unnest(range(len(t))) AS pos
+        FROM dtok WHERE len(t) > 0) zs),
+suni AS (SELECT w2 AS w, count(*) AS uc FROM spos WHERE is_model
+         GROUP BY 1),
+stot AS (SELECT sum(uc) AS n_total FROM suni),
+sbig AS (SELECT w1, w2, count(*) AS bc FROM spos
+         WHERE is_model AND w1 IS NOT NULL GROUP BY 1, 2),
+srows AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN p.pos = 0
+              THEN coalesce(CAST(u2.uc AS DOUBLE) /
+                            CAST(s.n_total AS DOUBLE), CAST(0.0 AS DOUBLE))
+              WHEN b.bc IS NOT NULL
+              THEN CAST(b.bc AS DOUBLE) / CAST(u1.uc AS DOUBLE)
+              ELSE CAST(0.4 AS DOUBLE) *
+                   coalesce(CAST(u2.uc AS DOUBLE) /
+                            CAST(s.n_total AS DOUBLE), CAST(0.0 AS DOUBLE))
+         END AS score
+  FROM spos p LEFT JOIN suni u2 ON p.w2 = u2.w
+  LEFT JOIN suni u1 ON p.w1 = u1.w
+  LEFT JOIN sbig b ON p.w1 = b.w1 AND p.w2 = b.w2
+  CROSS JOIN stot s),
+sfold AS (
+  SELECT doc_id, count(*) AS token_cnt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(score ORDER BY pos)),
+                     (a, s) -> a + s) / CAST(count(*) AS DOUBLE) AS sbo
+  FROM srows GROUP BY doc_id),
 ttf AS MATERIALIZED (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id,
@@ -335,6 +380,10 @@ SELECT 'tfidf_top3' AS variant,
        concat(doc_id, '/', rk, '/', term) AS k,
        CAST(tf AS BIGINT) AS cnt, score AS val
 FROM trk WHERE rk <= 3
+UNION ALL
+SELECT 'sbo_meanprob' AS variant, CAST(doc_id AS VARCHAR) AS k,
+       CAST(token_cnt AS BIGINT) AS cnt, sbo AS val
+FROM sfold
 """
 
 

@@ -488,3 +488,104 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    model_predicate,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model document scoring with Stupid Backoff
+    (Brants et al. 2007 "Large Language Models in Machine Translation"
+    §4) — the web-scale LM smoothing that needs only counts, no
+    discounting: score(w₂|w₁) = count(w₁w₂)/count(w₁) when the bigram is
+    in the model, else α · count(w₂)/N, with the model trained on the
+    ``model_predicate`` slice of the corpus (e.g. the target language)
+    and every document scored against it — the CCNet-style "how much
+    does this doc look like the reference domain" signal, one rung above
+    :func:`unigram_nll`.
+
+    Output: (id, token_cnt, sbo_mean) where ``sbo_mean`` is the MEAN
+    CONDITIONAL PROBABILITY over the doc's token positions (position 0
+    scores by the unigram model; tokens unseen in the model score 0).
+    The raw probabilities are used instead of the customary log — each
+    per-position score is then one correctly-rounded divide (+ one
+    multiply on the backoff path), and the per-doc reduction is an
+    ORDERED LEFT FOLD over the positions (collect → sort_array by pos →
+    ``aggregate``), so the resulting double is BIT-IDENTICAL across
+    engines, partitionings, and reruns — no quantization needed where
+    unigram_nll's libm-log + unordered AVG needs a 1e-3 floor.
+
+    Scale shape: positions are one explode of an index-aware
+    ``transform`` (narrow); bigram/unigram model tables are
+    map-side-combined counts over the model slice joined back by word
+    keys (AQE picks broadcast vs shuffle, skew-splits stopword-grade
+    heads); the fold is one per-doc aggregation whose state is the
+    doc's own positions.  At 10⁹+ docs, hash the grams into buckets
+    first (the DSIR layout) if the raw gram vocabulary outgrows the
+    join.
+    """
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        model_predicate.alias("is_model"),
+        toks.alias("t"),
+    ).filter(F.size("t") > 0)
+    positions = base.select(
+        "id",
+        "is_model",
+        F.explode(
+            F.expr(
+                "transform(t, (w, i) -> struct(i AS pos, "
+                "CASE WHEN i = 0 THEN NULL ELSE t[i-1] END AS w1, "
+                "w AS w2))"
+            )
+        ).alias("x"),
+    ).select("id", "is_model", "x.pos", "x.w1", "x.w2")
+    model = positions.filter(F.col("is_model"))
+    uni = model.groupBy("w2").agg(F.count(F.lit(1)).alias("uc"))
+    totals = uni.agg(F.sum("uc").alias("n_total"))
+    big = (
+        model.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    uni1 = uni.select(F.col("w2").alias("w1"), F.col("uc").alias("uc1"))
+    p_uni = F.coalesce(
+        F.col("uc").cast("double") / F.col("n_total").cast("double"),
+        F.lit(0.0),
+    )
+    score = (
+        F.when(F.col("pos") == 0, p_uni)
+        .when(
+            F.col("bc").isNotNull(),
+            F.col("bc").cast("double") / F.col("uc1").cast("double"),
+        )
+        .otherwise(F.lit(alpha) * p_uni)
+    )
+    rows = (
+        positions.join(uni, "w2", "left")
+        .join(uni1, "w1", "left")
+        .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(totals))  # 1-row totals frame
+        .select("id", "pos", score.alias("score"))
+    )
+    return (
+        rows.groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "score"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "id",
+            F.size("ps").cast("long").alias("token_cnt"),
+            F.expr(
+                "aggregate(transform(ps, x -> x.score), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s) "
+                "/ CAST(size(ps) AS DOUBLE)"
+            ).alias("sbo_mean"),
+        )
+    )
