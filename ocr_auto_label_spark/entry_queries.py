@@ -1384,6 +1384,7 @@ _PACK_BUDGET = 1024
 _PACK_SHARDS = 8
 _CHUNK_BUDGET = 32
 _CHUNK_OVERLAP = 8
+_BPE_MERGES = 6
 
 
 def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,12 +1536,45 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks").alias("v1"),
         F.col("n_tokens").alias("v2"),
     )
+    # BPE tokenizer training (Sennrich et al. 2016) on the same corpus:
+    # the ordered merge table (one bounded driver row per step), the
+    # final symbol inventory, and the per-doc token counts after merges
+    # — the DuckDB oracle replays the full training loop as a static
+    # chained-CTE program (argmax pair per step, then the same
+    # boundary-safe replace() rewrite)
+    from ocr_auto_label_spark.operators.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    bmerges, bwords = bpe_train(docs, _BPE_MERGES)
+    bpe_merge = spark.createDataFrame(
+        [
+            (f"{m['step']}/{m['a']}+{m['b']}", m["total"], m["step"])
+            for m in bmerges
+        ],
+        "k string, v1 long, v2 long",
+    ).select(F.lit("bpe_merge").alias("variant"), "k", "v1", "v2")
+    bpe_voc = bpe_vocab(bwords).select(
+        F.lit("bpe_vocab").alias("variant"),
+        F.col("symbol").alias("k"),
+        F.col("total").cast("long").alias("v1"),
+        F.length("symbol").cast("long").alias("v2"),
+    )
+    bpe_enc = bpe_segment_counts(docs, bwords).select(
+        F.lit("bpe_encode").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_symbols").alias("v1"),
+        F.col("n_words").cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(assign).unionByName(summary)
         .unionByName(decon).unionByName(mix).unionByName(mix_summary)
         .unionByName(pack_assign).unionByName(pack_offset)
         .unionByName(pack_summary).unionByName(chunk_assign)
-        .unionByName(chunk_summary)
+        .unionByName(chunk_summary).unionByName(bpe_merge)
+        .unionByName(bpe_voc).unionByName(bpe_enc)
     )
 
 
@@ -1559,6 +1593,60 @@ def _dedup_exact_and_split_duck() -> str:
         f"CASE idx WHEN 0 THEN '{_SPLIT_NAMES[0]}' "
         f"WHEN 1 THEN '{_SPLIT_NAMES[1]}' ELSE '{_SPLIT_NAMES[2]}' END"
     )
+    # BPE training replayed as a static chained-CTE program: per step,
+    # pair counts over the current vocab → deterministic argmax (count
+    # DESC, a, b LIMIT 1) → boundary-safe replace() rewrite.  Every bw/bt
+    # is MATERIALIZED — each is referenced twice, and DuckDB re-executes
+    # inlined single-reference CTEs, which would make the chain
+    # exponential (the E1-oracle lesson).
+    bpe_ctes = [
+        "bwv AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ("
+        f"SELECT unnest(list_filter({_duck_tokens('text')}, w -> w <> ''))"
+        " AS word FROM documents) zt GROUP BY word)",
+        "bw0 AS MATERIALIZED (SELECT word, cnt, ' ' || array_to_string("
+        "list_transform(range(1, length(word) + 1), i -> word[i]), '  ')"
+        " || ' ' AS seq FROM bwv)",
+    ]
+    bpe_merge_legs = []
+    for m in range(_BPE_MERGES):
+        bpe_ctes.append(
+            f"bp{m} AS (SELECT syms[i] AS a, syms[i + 1] AS b, "
+            f"sum(cnt) AS total FROM (SELECT cnt, syms, "
+            f"unnest(range(1, len(syms))) AS i FROM (SELECT cnt, "
+            f"string_split(trim(seq), '  ') AS syms FROM bw{m}) zs{m}) "
+            f"zp{m} GROUP BY 1, 2)"
+        )
+        bpe_ctes.append(
+            f"bt{m} AS MATERIALIZED (SELECT a, b, total FROM bp{m} "
+            "ORDER BY total DESC, a, b LIMIT 1)"
+        )
+        bpe_ctes.append(
+            f"bw{m + 1} AS MATERIALIZED (SELECT word, cnt, "
+            "replace(seq, ' ' || t.a || '  ' || t.b || ' ', "
+            f"' ' || t.a || t.b || ' ') AS seq FROM bw{m} "
+            f"CROSS JOIN bt{m} t)"
+        )
+        bpe_merge_legs.append(
+            f"SELECT 'bpe_merge' AS variant, CAST({m} AS VARCHAR) || '/' "
+            "|| a || '+' || b AS k, CAST(total AS BIGINT) AS v1, "
+            f"CAST({m} AS BIGINT) AS v2 FROM bt{m}"
+        )
+    bfin = f"bw{_BPE_MERGES}"
+    bpe_ctes.append(
+        "bvoc AS (SELECT sym AS symbol, sum(cnt) AS total FROM ("
+        "SELECT cnt, unnest(string_split(trim(seq), '  ')) AS sym "
+        f"FROM {bfin}) zv GROUP BY 1)"
+    )
+    bpe_ctes.append(
+        "benc AS (SELECT t.doc_id, "
+        "sum(len(string_split(trim(w.seq), '  '))) AS n_sym, "
+        "count(*) AS n_words FROM (SELECT doc_id, "
+        f"unnest(list_filter({_duck_tokens('text')}, w -> w <> '')) "
+        f"AS word FROM documents) t JOIN {bfin} w USING (word) "
+        "GROUP BY 1)"
+    )
+    bpe_with = ",\n".join(bpe_ctes)
+    bpe_union = " UNION ALL ".join(bpe_merge_legs)
     return f"""
 WITH hashed AS MATERIALIZED ({hashed}),
 b AS (SELECT doc_id,
@@ -1620,7 +1708,8 @@ chn AS MATERIALIZED (
                            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                END AS n
         FROM documents) z),
-chx AS (SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS i FROM chn)
+chx AS (SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS i FROM chn),
+{bpe_with}
 SELECT 'exact_group' AS variant, md5(text) AS k,
        min(doc_id) AS v1, count(*) AS v2
 FROM documents GROUP BY md5(text)
@@ -1662,6 +1751,16 @@ UNION ALL
 SELECT 'chunk_summary', CAST(doc_id AS VARCHAR),
        CAST(n_chunks AS BIGINT), CAST(n AS BIGINT)
 FROM chn
+UNION ALL
+{bpe_union}
+UNION ALL
+SELECT 'bpe_vocab', symbol, CAST(total AS BIGINT),
+       CAST(length(symbol) AS BIGINT)
+FROM bvoc
+UNION ALL
+SELECT 'bpe_encode', CAST(doc_id AS VARCHAR),
+       CAST(n_sym AS BIGINT), CAST(n_words AS BIGINT)
+FROM benc
 """
 
 
