@@ -62,6 +62,10 @@ def main() -> None:
     p.add_argument("--dsir-keep-percent", type=int, default=None,
                    help="keep only the top X%% of docs by DSIR importance "
                         "weight toward --dsir-target-lang (before the split)")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="train a BPE tokenizer (this many merges) on the "
+                        "curated TRAIN split and write the merge table + "
+                        "symbol vocab beside the corpus; 0 = off")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -90,6 +94,7 @@ def main() -> None:
             dsir_target_lang=args.dsir_target_lang,
             dsir_keep_percent=args.dsir_keep_percent,
             span_dedup_width=args.span_dedup_width,
+            bpe_merges=args.bpe_merges,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

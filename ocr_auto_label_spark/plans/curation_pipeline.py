@@ -104,6 +104,7 @@ def curate_corpus(
     dsir_keep_percent: int | None = None,
     lang_col: str = "lang",
     span_dedup_width: int = 0,
+    bpe_merges: int = 0,
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -137,6 +138,12 @@ def curate_corpus(
     drops whole-document copies, this drops the repeated PASSAGES inside
     otherwise-unique docs (one canonical copy survives corpus-wide); the
     summary gains ``span_tokens_before``/``span_tokens_after``.
+    With ``bpe_merges > 0`` a BPE tokenizer is TRAINED on the curated
+    TRAIN split (never on eval text — the same leakage discipline as
+    decontamination) and its artifacts land beside the corpus:
+    ``{output_dir}/bpe_merges`` (the ordered merge table an encoder
+    replays) and ``{output_dir}/bpe_vocab`` (the weighted symbol
+    inventory); the summary gains ``bpe_vocab_size``.
     With ``dsir_keep_percent`` (+ ``dsir_target_lang``) a DSIR data
     SELECTION stage runs before the split: per-doc hashed-bigram
     importance weights (``dsir_logweights``), milli-quantized, and only
@@ -427,12 +434,34 @@ def curate_corpus(
             # chunk rows belonging to a doc that needed splitting
             "oversize_chunk_rows": int(cagg["split_docs"] or 0),
         }
+    bpe_stats = {}
+    if bpe_merges > 0:
+        from ocr_auto_label_spark.operators.bpe import bpe_train, bpe_vocab
+
+        train_docs = curated.filter(F.col("split") == names[0])
+        merges, words = bpe_train(train_docs, bpe_merges, text_col=text_col)
+        merges_path = f"{output_dir}/bpe_merges"
+        spark.createDataFrame(
+            [
+                (m["step"], m["a"], m["b"], m["merged"], m["total"])
+                for m in merges
+            ],
+            "step long, a string, b string, merged string, total long",
+        ).write.mode("overwrite").parquet(merges_path)
+        vocab_path = f"{output_dir}/bpe_vocab"
+        bpe_vocab(words).write.mode("overwrite").parquet(vocab_path)
+        bpe_stats = {
+            "bpe_merges_path": merges_path,
+            "bpe_vocab_path": vocab_path,
+            "bpe_vocab_size": spark.read.parquet(vocab_path).count(),
+        }
     stage1 = obs_dedup.get
     # zero-row aggregates yield NULL sums — coerce every count so the
     # JSON contract is always integers, never null
     return {
         **pack_stats,
         **chunk_stats,
+        **bpe_stats,
         **sem_stats,
         **sem_decon_stats,
         **span_stats_get(),

@@ -447,3 +447,32 @@ def test_curation_with_semantic_dedup(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "sem/curated")).collect()}
     assert sem_ids == base_ids - evict_ids
     assert len(sem_ids) < len(base_ids)  # the stage actually fired
+
+
+def test_curation_with_bpe_tokenizer_training(spark, tmp_path):
+    from ocr_auto_label_spark.operators.bpe import bpe_train, bpe_vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "bpe")
+    summary = curate_corpus(spark, docs, out, bpe_merges=4, **GATES)
+    merges = sorted(
+        (r.step, r.a, r.b, r.merged, r.total)
+        for r in spark.read.parquet(summary["bpe_merges_path"]).collect()
+    )
+    vocab = {
+        r.symbol: r.total
+        for r in spark.read.parquet(summary["bpe_vocab_path"]).collect()
+    }
+    assert summary["bpe_vocab_size"] == len(vocab) > 0
+    assert len(merges) == 4
+    # the stage must equal training directly on the curated TRAIN split
+    # (tokenizer never sees eval text)
+    train = spark.read.parquet(f"{out}/curated").filter("split = 'train'")
+    want_merges, want_words = bpe_train(train, 4)
+    assert merges == sorted(
+        (m["step"], m["a"], m["b"], m["merged"], m["total"])
+        for m in want_merges
+    )
+    assert vocab == {
+        r.symbol: r.total for r in bpe_vocab(want_words).collect()
+    }
