@@ -1120,7 +1120,11 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``cms``: count-min-sketch point estimates (operators/sketch.py,
       grid rebuilt bit-exactly in DuckDB via the staged XXH64 SQL) for
       five probe terms, k = term, cnt = estimate, val = true count —
-      the CMS one-sided-error invariant (cnt ≥ val) is driver-visible.
+      the CMS one-sided-error invariant (cnt ≥ val) is driver-visible;
+    - ``hll_reg`` / ``hll_est``: HyperLogLog distinct-count sketch —
+      every register exactly compared (integer-only rank math), plus
+      the raw estimate (one exact-integer sum → one cast → one divide,
+      bit-stable) next to the true vocabulary size.
     """
     from ocr_auto_label_spark.operators.search import (
         bm25_search,
@@ -1128,7 +1132,12 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_inverted_index,
         phrase_search,
     )
-    from ocr_auto_label_spark.operators.sketch import cms_build, cms_estimate
+    from ocr_auto_label_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        hll_estimate,
+        hll_registers,
+    )
     from ocr_auto_label_spark.operators.textstats import word_tokens
 
     from ocr_auto_label_spark.operators.util import ensure_parallelism
@@ -1196,12 +1205,40 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val"),
         )
     )
+    regs = hll_registers(docs)
+    hllr = regs.select(
+        F.lit("hll_reg").alias("variant"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("max_rank").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    hlle_base = hll_estimate(regs).crossJoin(
+        idx.agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+    # raw estimator compared RAW (exact-integer sum → one divide);
+    # the linear-counting branch goes through ln → 1e-3 floor (the
+    # unigram_nll precedent)
+    hlle = hlle_base.select(
+        F.lit("hll_est").alias("variant"),
+        F.lit("raw").alias("k"),
+        F.col("n_terms").cast("long").alias("cnt"),
+        F.col("estimate_raw").alias("val"),
+    ).unionByName(
+        hlle_base.select(
+            F.lit("hll_est").alias("variant"),
+            F.lit("corrected").alias("k"),
+            F.col("n_terms").cast("long").alias("cnt"),
+            (F.floor(F.col("estimate") * 1000) / 1000).alias("val"),
+        )
+    )
     return (
         base.unionByName(posting)
         .unionByName(found)
         .unionByName(bm)
         .unionByName(ph)
         .unionByName(cms)
+        .unionByName(hllr)
+        .unionByName(hlle)
     )
 
 
@@ -1211,7 +1248,12 @@ def _f1_f5_suite_duck() -> str:
         xxh64_str_staged_sql,
     )
     from ocr_auto_label_spark.operators.search import BM25_B, BM25_K1
-    from ocr_auto_label_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+    from ocr_auto_label_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HLL_P,
+        hll_constants,
+    )
 
     terms = ", ".join(f"'{t}'" for t in _SEARCH_POSTING_TERMS)
     must = ", ".join(f"'{t}'" for t in _SEARCH_MUST_TERMS)
@@ -1280,6 +1322,33 @@ def _f1_f5_suite_duck() -> str:
     cms_with = ",\n".join(cms_ctes)
     est_union = " UNION ALL ".join(est_legs)
 
+    # ---- hll: registers from the distinct vocab (register max over a
+    # multiset == over its set), rank via base-2 digit strings ---------
+    m_hll, kp1, numer = hll_constants(HLL_P)
+    k_hll = 64 - HLL_P
+    two_k = 1 << k_hll
+    hll_hash = xxh64_str_staged_sql(
+        "FROM (SELECT term FROM icnt) hv", "term"
+    )
+    hll_rank = (
+        f"CASE WHEN hu % {two_k} = 0 THEN {k_hll + 1} "
+        f"ELSE {k_hll + 1} - length(ltrim(bin(CAST(hu % {two_k} "
+        "AS BIGINT)), '0')) END"
+    )
+    hll_stot = (
+        f"(CAST(h.s_hit AS HUGEINT) + CAST({m_hll} - h.n_hit AS HUGEINT)"
+        f" * CAST({1 << kp1} AS HUGEINT))"
+    )
+    hll_raw = f"(CAST({numer!r} AS DOUBLE) / CAST({hll_stot} AS DOUBLE))"
+    hll_corr = (
+        f"CASE WHEN h.n_hit < {m_hll} AND {hll_raw} <= "
+        f"CAST({2.5 * m_hll!r} AS DOUBLE) THEN "
+        f"CAST({float(m_hll)!r} AS DOUBLE) * ln("
+        f"CAST({float(m_hll)!r} AS DOUBLE) / "
+        f"CAST({m_hll} - h.n_hit AS DOUBLE)) "
+        f"ELSE {hll_raw} END"
+    )
+
     return f"""
 WITH ifl AS MATERIALIZED (
   SELECT doc_id, list_filter({_duck_tokens('text')}, w -> w <> '') AS toks
@@ -1310,7 +1379,14 @@ icnt AS MATERIALIZED (SELECT term, count(*) AS cnt FROM itoks
                       GROUP BY term),
 iprobes AS (SELECT * FROM (VALUES {probes_vals}) v(term)),
 {cms_with},
-iest AS (SELECT term, min(c) AS est FROM ({est_union}) u GROUP BY term)
+iest AS (SELECT term, min(c) AS est FROM ({est_union}) u GROUP BY term),
+hh AS MATERIALIZED (SELECT term, __xxh_u AS hu FROM ({hll_hash}) zh),
+hreg AS MATERIALIZED (
+  SELECT CAST(hu // {two_k} AS INT) AS bucket, max({hll_rank}) AS max_rank
+  FROM hh GROUP BY 1),
+hest AS (SELECT count(*) AS n_hit,
+                sum(CAST(1 AS BIGINT) << ({kp1} - max_rank)) AS s_hit
+         FROM hreg)
 {base}
 UNION ALL
 SELECT 'posting' AS variant, term AS k, CAST(dfc AS BIGINT) AS cnt,
@@ -1334,6 +1410,19 @@ UNION ALL
 SELECT 'cms' AS variant, e.term AS k, CAST(e.est AS BIGINT) AS cnt,
        CAST(coalesce(t.cnt, 0) AS DOUBLE) AS val
 FROM iest e LEFT JOIN icnt t USING (term)
+UNION ALL
+SELECT 'hll_reg' AS variant, CAST(bucket AS VARCHAR) AS k,
+       CAST(max_rank AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val
+FROM hreg
+UNION ALL
+SELECT 'hll_est' AS variant, 'raw' AS k,
+       (SELECT count(*) FROM iidx) AS cnt, {hll_raw} AS val
+FROM hest h
+UNION ALL
+SELECT 'hll_est' AS variant, 'corrected' AS k,
+       (SELECT count(*) FROM iidx) AS cnt,
+       floor(({hll_corr}) * 1000) / 1000 AS val
+FROM hest h
 """
 
 

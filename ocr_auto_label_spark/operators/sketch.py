@@ -128,3 +128,110 @@ def cms_estimate(
         F.broadcast(sketch), ["row_j", "bucket"], "left"
     ).select("term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
     return hit.groupBy("term").agg(F.min("cnt").alias("est"))
+
+
+HLL_P = 10  # 2^10 = 1024 registers
+
+
+def hll_constants(p: int) -> tuple[int, int, float]:
+    """(m, kp1, numer): register count, the exact-integer scaling
+    exponent, and the Python-folded double numerator α_m·m²·2^kp1 —
+    shared by the operator AND oracle generators so both engines divide
+    by the bit-identical constant."""
+    m = 1 << p
+    kp1 = 64 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * float(m) * float(m) * float(1 << kp1)
+    return m, kp1, numer
+
+
+def hll_registers(
+    df: DataFrame, text_col: str = "text", p: int = HLL_P
+) -> DataFrame:
+    """(bucket, max_rank): HyperLogLog registers (Flajolet et al. 2007)
+    over the corpus's term stream — the constant-size distinct-counting
+    state complementing the CMS's frequency state.  Like the CMS it is
+    map-side combinable and MERGEABLE (register-wise max), so the same
+    operator serves partitions, days, and streaming micro-batches.
+
+    bucket = top ``p`` bits of xxhash64(term); rank = leading zeros of
+    the remaining 64−p bits + 1.  The rank is computed with INTEGER/
+    STRING ops only — bit length via the base-2 digit string
+    (``conv``/``bin``), never a float log2 — so registers are exact and
+    the DuckDB oracle matches them value-for-value.  Registers max over
+    the raw occurrence stream (max over a multiset equals max over its
+    set, so no distinct shuffle is needed before the aggregate)."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_registers: p must be in [4, 16]")
+    k = 64 - p
+    mask = (1 << k) - 1
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    rows = (
+        df.select(F.explode(toks).alias("term"))
+        .select(F.xxhash64("term").alias("h"))
+        .select(
+            F.shiftrightunsigned(F.col("h"), k).cast("int").alias("bucket"),
+            F.col("h").bitwiseAND(F.lit(mask)).alias("r"),
+        )
+    )
+    rank = (
+        F.when(F.col("r") == 0, F.lit(k + 1))
+        .otherwise(F.lit(k + 1) - F.length(F.conv(F.col("r"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        rows.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One row (n_buckets_hit, estimate_raw, estimate): the HLL
+    cardinality estimator — raw α_m·m²/Σ2^(−M_j) plus the standard
+    small-range LINEAR-COUNTING correction (Flajolet et al. 2007 §4:
+    when raw ≤ 2.5m and empty registers exist, m·ln(m/V) with V = empty
+    registers is the better estimator; at corpus scale the raw branch
+    dominates, but the corrected column is what you'd actually read).
+
+    Float discipline: Σ2^(−M_j) is accumulated as the EXACT integer
+    Σ2^((64−p+1)−M_j) — every summand a power of two that fits a long,
+    summed losslessly in decimal/hugeint, absent registers contributing
+    2^(64−p+1) each — then ONE cast to double and ONE divide by the
+    Python-folded constant α_m·m²·2^(64−p+1); ``estimate_raw`` is
+    therefore bit-stable across engines.  The corrected branch uses
+    ``ln`` (libm, cross-engine ulp jitter) — callers comparing it
+    cross-engine quantize it like unigram_nll (1e-3 floor)."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_estimate: p must be in [4, 16]")
+    m, kp1, numer = hll_constants(p)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {kp1} - max_rank) "
+                "AS DECIMAL(38,0))"
+            )
+        ).alias("s_hit"),
+    )
+    s_total = (
+        F.coalesce(F.col("s_hit"), F.lit(0).cast("decimal(38,0)"))
+        + (F.lit(m) - F.col("n_hit")).cast("decimal(38,0)")
+        * F.lit(1 << kp1).cast("decimal(38,0)")
+    )
+    raw = (F.lit(numer) / s_total.cast("double")).alias("estimate_raw")
+    out = agg.select(
+        F.col("n_hit").cast("long").alias("n_buckets_hit"), raw
+    )
+    corrected = F.when(
+        (F.col("n_buckets_hit") < m)
+        & (F.col("estimate_raw") <= F.lit(2.5 * m)),
+        F.lit(float(m))
+        * F.log(
+            F.lit(float(m))
+            / (F.lit(m) - F.col("n_buckets_hit")).cast("double")
+        ),
+    ).otherwise(F.col("estimate_raw"))
+    return out.select(
+        "n_buckets_hit", "estimate_raw", corrected.alias("estimate")
+    )

@@ -78,3 +78,63 @@ def test_cms_argument_validation(spark):
         cms_estimate(sk, [])
     with pytest.raises(ValueError):
         cms_estimate(sk, ["dup", "DUP"])
+
+
+def test_hll_registers_invariants_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.read.parquet(SF)
+    regs = {(r.bucket, r.max_rank) for r in hll_registers(df).collect()}
+    assert all(0 <= b < 1024 and 1 <= m <= 55 for b, m in regs)
+    # registers are a pure function of the distinct-term set: the same
+    # sketch at any partitioning, and register-wise max merges slices
+    a = {r.bucket: r.max_rank
+         for r in hll_registers(df.filter(F.col("doc_id") % 2 == 0))
+         .collect()}
+    b = {r.bucket: r.max_rank
+         for r in hll_registers(df.filter(F.col("doc_id") % 2 == 1))
+         .collect()}
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == dict(regs)
+    assert {
+        (r.bucket, r.max_rank)
+        for r in hll_registers(df.repartition(13)).collect()
+    } == regs
+
+
+def test_hll_estimate_formula_and_accuracy(spark):
+    import re
+
+    from ocr_auto_label_spark.operators.sketch import (
+        hll_constants,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.read.parquet(SF)
+    regs = hll_registers(df)
+    row = hll_estimate(regs).first()
+    m, kp1, numer = hll_constants(10)
+    ranks = [r.max_rank for r in regs.collect()]
+    s_total = sum(1 << (kp1 - mr) for mr in ranks) + (m - len(ranks)) * (
+        1 << kp1
+    )
+    assert row.n_buckets_hit == len(ranks)
+    assert row.estimate_raw == numer / float(s_total)  # exact ==
+    true = len(
+        _true_counts([(r.text,) for r in df.select("text").collect()])
+    )
+    # tiny vocab → the linear-counting branch must fire and be close
+    assert row.estimate != row.estimate_raw
+    assert abs(row.estimate - true) / true < 0.15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(df, p=3)
+    with _pytest.raises(ValueError):
+        hll_estimate(regs, p=17)
