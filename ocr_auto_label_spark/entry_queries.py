@@ -1426,14 +1426,64 @@ FROM hest h
 """
 
 
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
 def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 bucketed time-range self-join PLUS the as-of join (the
+    "most recent prior state" lookup the reference's latest-selection
+    picks are, operators/asof.py), variant-normalized (variant, k, v1,
+    v2):
+
+    - ``range_pairs``: purchases within ±120 s per user — k = user_id,
+      v1 = pair count;
+    - ``asof``: every purchase's most recent PRIOR click by the same
+      user — k = purchase event_id, v1 = matched click event_id,
+      v2 = exact gap in µs (NULLs when the user never clicked before);
+    - ``asof_tol``: same with a 1-hour tolerance (pandas
+      ``merge_asof(tolerance=...)`` semantics — stale matches null out).
+
+    The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a genuinely
+    independent implementation of the semantics, not a replay of ours.
+    """
+    from ocr_auto_label_spark.operators.asof import asof_join
     from ocr_auto_label_spark.operators.range_join import time_range_self_join
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        F.col("event_type") == "purchase"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = events.filter(F.col("event_type") == "purchase")
+    pairs = time_range_self_join(
+        purch, key_cols=["user_id"], window_seconds=120
     )
-    pairs = time_range_self_join(events, key_cols=["user_id"], window_seconds=120)
-    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    ranged = (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .select(
+            F.lit("range_pairs").alias("variant"),
+            F.col("user_id").cast("string").alias("k"),
+            F.col("pair_cnt").cast("long").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+
+    def _asof_rows(name: str, tol: int | None) -> DataFrame:
+        aj = asof_join(
+            purch.select("event_id", "user_id", "ts"),
+            clicks,
+            on=["user_id"],
+            tolerance_us=tol,
+        )
+        return aj.select(
+            F.lit(name).alias("variant"),
+            F.col("event_id").cast("string").alias("k"),
+            F.col("asof_event_id").cast("long").alias("v1"),
+            F.col("asof_gap_us").cast("long").alias("v2"),
+        )
+
+    return (
+        ranged.unionByName(_asof_rows("asof", None))
+        .unionByName(_asof_rows("asof_tol", _ASOF_TOL_US))
+    )
 
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2595,13 +2645,31 @@ FROM frame f LEFT JOIN matched m ON f.id = m.id
 
 # ------------------------------------------------------------ the registry
 
-_DUCK_J1 = """
-SELECT a.user_id AS user_id, count(*) AS pair_cnt
-FROM events a JOIN events b
+_DUCK_J1 = f"""
+WITH jpu AS MATERIALIZED (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+jcl AS MATERIALIZED (
+  SELECT user_id, ts, max(event_id) AS r_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+jas AS MATERIALIZED (
+  SELECT p.event_id AS pid, c.r_id AS cid,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap
+  FROM jpu p ASOF LEFT JOIN jcl c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT 'range_pairs' AS variant, CAST(a.user_id AS VARCHAR) AS k,
+       count(*) AS v1, CAST(NULL AS BIGINT) AS v2
+FROM jpu a JOIN jpu b
   ON a.user_id = b.user_id AND a.event_id <> b.event_id
  AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 120
-WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
 GROUP BY a.user_id
+UNION ALL
+SELECT 'asof' AS variant, CAST(pid AS VARCHAR) AS k,
+       cid AS v1, gap AS v2 FROM jas
+UNION ALL
+SELECT 'asof_tol' AS variant, CAST(pid AS VARCHAR) AS k,
+       CASE WHEN gap <= {_ASOF_TOL_US} THEN cid END AS v1,
+       CASE WHEN gap <= {_ASOF_TOL_US} THEN gap END AS v2
+FROM jas
 """
 
 _DUCK_JACCARD = """

@@ -349,3 +349,24 @@ def test_mixture_sample_single_shuffle_jvm_side(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_windowed_not_joined(spark):
+    """The as-of operator must compile to the union + ordered-window
+    carry — ZERO Join nodes (the naive formulation is a range join that
+    fans out left x right-within-window) and exactly two Exchanges:
+    the right-side tie-break dedup and the window itself."""
+    from ocr_auto_label_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(
+        asof_join(
+            ev.filter("event_type = 'purchase'")
+            .select("event_id", "user_id", "ts"),
+            ev.filter("event_type = 'click'"),
+            on=["user_id"],
+        )
+    )
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan
