@@ -1426,6 +1426,118 @@ FROM hest h
 """
 
 
+_W2_RANK_SQL = (
+    "SELECT event_id, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS turn_rank FROM events"
+)
+
+
+def _w2_ordering_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 stable ordering PLUS the op that ordering exists FOR at
+    training time: SFT example rendering with loss-mask spans
+    (operators/sft.py) over the pinned 2000-turn transcript corpus,
+    normalized to (variant, k, v1, v2):
+
+    - ``turn_rank``: the original W2 window — k = event_id,
+      v1 = rank within (user, ts, id) order;
+    - ``sft_text``: k = conv_id, v1 = xxhash64 of the FULL rendered
+      training sequence (verbatim-text certification through the
+      XXH64-in-SQL compiler), v2 = its length;
+    - ``sft_span``: every loss-mask span — k = conv/idx, v1 = begin,
+      v2 = end (0-based [begin, end) char offsets);
+    - ``sft_stats``: k = conv_id, v1 = n_turns, v2 = n_mask_chars."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.sft import render_sft_examples
+
+    load_views(spark, sf_dir)
+    ranks = spark.sql(_W2_RANK_SQL).select(
+        F.lit("turn_rank").alias("variant"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("turn_rank").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    tr = spark.read.parquet(transcripts_parquet(2_000))
+    sft = render_sft_examples(tr)
+    text_rows = sft.select(
+        F.lit("sft_text").alias("variant"),
+        F.col("conv").alias("k"),
+        F.xxhash64("text").alias("v1"),
+        F.col("n_chars").alias("v2"),
+    )
+    stat_rows = sft.select(
+        F.lit("sft_stats").alias("variant"),
+        F.col("conv").alias("k"),
+        F.col("n_turns").alias("v1"),
+        F.col("n_mask_chars").alias("v2"),
+    )
+    span_rows = sft.select(
+        "conv", F.posexplode("mask_spans").alias("idx", "s")
+    ).select(
+        F.lit("sft_span").alias("variant"),
+        F.concat_ws("/", F.col("conv"), F.col("idx")).alias("k"),
+        F.col("s.begin").alias("v1"),
+        F.col("s.end").alias("v2"),
+    )
+    return (
+        ranks.unionByName(text_rows).unionByName(stat_rows)
+        .unionByName(span_rows)
+    )
+
+
+def _w2_ordering_sft_duck() -> str:
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        to_signed,
+        xxh64_str_staged_sql,
+    )
+
+    path = transcripts_parquet(2_000)
+    src = f"read_parquet('{path}/*.parquet')"
+    text_hash = xxh64_str_staged_sql("FROM stext", "text")
+    return f"""
+WITH srt AS MATERIALIZED (
+  SELECT conv_id, turn_idx, ts,
+         '<|' || role || '|>' || chr(10) || coalesce(text, '') || chr(10)
+           AS rendered,
+         length(role) + 5 AS hdr,
+         length(coalesce(text, '')) AS txt_len,
+         (role = 'assistant') AS is_mask
+  FROM {src}),
+sro AS MATERIALIZED (
+  SELECT *, sum(length(rendered)) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx, ts, rendered
+              ROWS UNBOUNDED PRECEDING) - length(rendered) AS off
+  FROM srt),
+stext AS MATERIALIZED (
+  SELECT conv_id,
+         string_agg(rendered, '' ORDER BY turn_idx, ts, rendered) AS text,
+         count(*) AS n_turns,
+         sum(length(rendered)) AS n_chars,
+         coalesce(sum(CASE WHEN is_mask THEN txt_len END), 0)
+           AS n_mask_chars
+  FROM sro GROUP BY conv_id),
+sspan AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY off) - 1 AS idx,
+         off + hdr AS begin, off + hdr + txt_len AS "end"
+  FROM sro WHERE is_mask),
+shash AS (SELECT conv_id, {to_signed('__xxh_u')} AS h,
+                 n_turns, n_chars, n_mask_chars
+          FROM ({text_hash}) zx)
+SELECT 'turn_rank' AS variant, CAST(event_id AS VARCHAR) AS k,
+       CAST(turn_rank AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
+FROM ({_W2_RANK_SQL}) zr
+UNION ALL
+SELECT 'sft_text', conv_id, h, CAST(n_chars AS BIGINT) FROM shash
+UNION ALL
+SELECT 'sft_stats', conv_id, CAST(n_turns AS BIGINT),
+       CAST(n_mask_chars AS BIGINT) FROM shash
+UNION ALL
+SELECT 'sft_span', conv_id || '/' || CAST(idx AS VARCHAR),
+       CAST(begin AS BIGINT), CAST("end" AS BIGINT) FROM sspan
+"""
+
+
 _ASOF_TOL_US = 3_600_000_000  # 1 hour
 
 
@@ -2830,11 +2942,7 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # ARE deterministic batch arithmetic → oracle-backed since r4 ---
     "streaming_pipeline": (_streaming_pipeline, _streaming_pipeline_duck),
     # --- windows (W1-W8) ---
-    "w2_stable_turn_ordering": (
-        "SELECT event_id, row_number() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS turn_rank FROM events",
-        "same",
-    ),
+    "w2_stable_turn_ordering": (_w2_ordering_sft, _w2_ordering_sft_duck),
     "w8_session_window": (
         # ±2-min proximity clustering (grouping.ts:123-125) as Spark's
         # native session_window; oracle = classic gaps-and-islands.  Both
