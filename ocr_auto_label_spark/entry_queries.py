@@ -1133,6 +1133,8 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_search,
     )
     from ocr_auto_label_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
         cms_build,
         cms_estimate,
         hll_estimate,
@@ -1205,6 +1207,14 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val"),
         )
     )
+    blm = bloom_might_contain(bloom_build(docs), probe_terms).select(
+        F.lit("bloom").alias("variant"),
+        F.col("term").alias("k"),
+        F.col("hits").alias("cnt"),
+        F.when(F.col("might_contain"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("val"),
+    )
     regs = hll_registers(docs)
     hllr = regs.select(
         F.lit("hll_reg").alias("variant"),
@@ -1237,6 +1247,7 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm)
         .unionByName(ph)
         .unionByName(cms)
+        .unionByName(blm)
         .unionByName(hllr)
         .unionByName(hlle)
     )
@@ -1249,6 +1260,7 @@ def _f1_f5_suite_duck() -> str:
     )
     from ocr_auto_label_spark.operators.search import BM25_B, BM25_K1
     from ocr_auto_label_spark.operators.sketch import (
+        BLOOM_M,
         CMS_DEPTH,
         CMS_WIDTH,
         HLL_P,
@@ -1300,27 +1312,43 @@ def _f1_f5_suite_duck() -> str:
     # xxhash64: the IntegerType child j hashed 4-byte-LE with seed 42
     probes_vals = ", ".join(f"('{t}')" for t in _CMS_PROBE_TERMS)
     cms_ctes = []
-    est_legs = []
+    est_legs, blm_bit_legs, blm_probe_legs = [], [], []
     for j in range(CMS_DEPTH):
         # HUGEINT cast up front: a bare 19-digit literal parses as
         # BIGINT and overflows INT64 inside the first seed addition
         seed = f"CAST({xxh64_int4_py(j, 42)} AS HUGEINT)"
         vh = xxh64_str_staged_sql("FROM icnt", "term", seed)
         pb = xxh64_str_staged_sql("FROM iprobes", "term", seed)
+        # one hash pass per j serves BOTH sketches (CMS buckets and
+        # Bloom bit positions are just different power-of-two mods)
         cms_ctes.append(
-            f"igr{j} AS (SELECT CAST(__xxh_u % {CMS_WIDTH} AS BIGINT) AS "
-            f"bucket, sum(cnt) AS gcnt FROM ({vh}) zv{j} GROUP BY 1)"
+            f"ivh{j} AS MATERIALIZED (SELECT term, cnt, __xxh_u AS hu "
+            f"FROM ({vh}) zv{j})"
         )
         cms_ctes.append(
-            f"ipb{j} AS (SELECT term, CAST(__xxh_u % {CMS_WIDTH} AS BIGINT)"
-            f" AS bucket FROM ({pb}) zp{j})"
+            f"ipb{j} AS MATERIALIZED (SELECT term, __xxh_u AS hu "
+            f"FROM ({pb}) zp{j})"
+        )
+        cms_ctes.append(
+            f"igr{j} AS (SELECT CAST(hu % {CMS_WIDTH} AS BIGINT) AS "
+            f"bucket, sum(cnt) AS gcnt FROM ivh{j} GROUP BY 1)"
         )
         est_legs.append(
             f"SELECT p.term, coalesce(g.gcnt, 0) AS c "
-            f"FROM ipb{j} p LEFT JOIN igr{j} g USING (bucket)"
+            f"FROM (SELECT term, CAST(hu % {CMS_WIDTH} AS BIGINT) AS "
+            f"bucket FROM ipb{j}) p LEFT JOIN igr{j} g USING (bucket)"
+        )
+        blm_bit_legs.append(
+            f"SELECT CAST(hu % {BLOOM_M} AS BIGINT) AS pos FROM ivh{j}"
+        )
+        blm_probe_legs.append(
+            f"SELECT term, CAST(hu % {BLOOM_M} AS BIGINT) AS pos "
+            f"FROM ipb{j}"
         )
     cms_with = ",\n".join(cms_ctes)
     est_union = " UNION ALL ".join(est_legs)
+    blm_bits = " UNION ALL ".join(blm_bit_legs)
+    blm_probes = " UNION ALL ".join(blm_probe_legs)
 
     # ---- hll: registers from the distinct vocab (register max over a
     # multiset == over its set), rank via base-2 digit strings ---------
@@ -1380,6 +1408,12 @@ icnt AS MATERIALIZED (SELECT term, count(*) AS cnt FROM itoks
 iprobes AS (SELECT * FROM (VALUES {probes_vals}) v(term)),
 {cms_with},
 iest AS (SELECT term, min(c) AS est FROM ({est_union}) u GROUP BY term),
+iblb AS MATERIALIZED (SELECT DISTINCT pos FROM ({blm_bits}) ub),
+ibpr AS (SELECT p.term,
+                CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits
+         FROM ({blm_probes}) p LEFT JOIN iblb b USING (pos)
+         GROUP BY p.term),
 hh AS MATERIALIZED (SELECT term, __xxh_u AS hu FROM ({hll_hash}) zh),
 hreg AS MATERIALIZED (
   SELECT CAST(hu // {two_k} AS INT) AS bucket, max({hll_rank}) AS max_rank
@@ -1410,6 +1444,11 @@ UNION ALL
 SELECT 'cms' AS variant, e.term AS k, CAST(e.est AS BIGINT) AS cnt,
        CAST(coalesce(t.cnt, 0) AS DOUBLE) AS val
 FROM iest e LEFT JOIN icnt t USING (term)
+UNION ALL
+SELECT 'bloom' AS variant, term AS k, hits AS cnt,
+       CAST(CASE WHEN hits = {CMS_DEPTH} THEN 1 ELSE 0 END AS DOUBLE)
+         AS val
+FROM ibpr
 UNION ALL
 SELECT 'hll_reg' AS variant, CAST(bucket AS VARCHAR) AS k,
        CAST(max_rank AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS val

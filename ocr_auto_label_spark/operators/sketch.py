@@ -235,3 +235,71 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     return out.select(
         "n_buckets_hit", "estimate_raw", corrected.alias("estimate")
     )
+
+
+BLOOM_M = 8192  # bits; power of two so unsigned mod == pmod in SQL
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = CMS_DEPTH,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(bit_pos): the set bits of a classic Bloom filter over the
+    corpus's terms — k hash functions (the SAME chained xxhash64(j,
+    term) family as the CMS, so one oracle hash pass serves both
+    sketches) into one shared m-bit array.  Constant-size (≤ m rows),
+    mergeable by plain DISTINCT UNION, no false negatives ever; false
+    positives at the classic (1−e^{−kn/m})^k rate.  The membership
+    companion to the CMS (frequency) and HLL (cardinality): at corpus
+    scale this is the "might this URL/doc-hash/n-gram be in the
+    blocklist?" prefilter that saves the exact anti-join for the few
+    candidates that hit."""
+    if k < 1 or m < 1:
+        raise ValueError("bloom_build: k and m must be >= 1")
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .select(
+            F.explode(
+                F.array(
+                    *[_bucket(j, F.col("term"), m) for j in range(k)]
+                )
+            ).alias("bit_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probe_terms: list[str],
+    k: int = CMS_DEPTH,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(term, hits, might_contain): hits = how many of the k probed
+    bits are set; might_contain ⇔ all k.  The bit table is broadcast
+    (≤ m rows by construction)."""
+    if not probe_terms:
+        raise ValueError("bloom_might_contain: probe_terms must be non-empty")
+    terms = [t.lower() for t in probe_terms]
+    if len(set(terms)) != len(terms):
+        raise ValueError("bloom_might_contain: probe_terms must be distinct")
+    spark = bits.sparkSession
+    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    cells = probes.select(
+        "term",
+        F.explode(
+            F.array(*[_bucket(j, F.col("term"), m) for j in range(k)])
+        ).alias("bit_pos"),
+    )
+    hit = cells.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), ["bit_pos"], "left"
+    )
+    return hit.groupBy("term").agg(
+        F.sum(F.coalesce(F.col("__set"), F.lit(0))).cast("long").alias("hits"),
+        (
+            F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(k)
+        ).alias("might_contain"),
+    )

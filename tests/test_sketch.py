@@ -138,3 +138,37 @@ def test_hll_estimate_formula_and_accuracy(spark):
         hll_registers(df, p=3)
     with _pytest.raises(ValueError):
         hll_estimate(regs, p=17)
+
+
+def test_bloom_filter_invariants(spark):
+    from ocr_auto_label_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.read.parquet(SF)
+    true = _true_counts([(r.text,) for r in df.select("text").collect()])
+    vocab = sorted(true)
+    bits = bloom_build(df)
+    got = {
+        r.term: (r.hits, r.might_contain)
+        for r in bloom_might_contain(bits, vocab).collect()
+    }
+    # NO false negatives, ever: every corpus term answers yes
+    assert all(got[t] == (4, True) for t in vocab)
+    # a clean miss at the default size
+    miss = bloom_might_contain(bits, ["zzz_not_a_word"]).collect()[0]
+    assert (miss.hits, miss.might_contain) == (0, False)
+    # a saturated filter (m=16) must produce false positives — the
+    # one-sided error is the price of constant size
+    small = bloom_build(df, k=2, m=16)
+    probes = [f"zz_fake_{i}" for i in range(30)]
+    sm = bloom_might_contain(small, probes, k=2, m=16).collect()
+    assert any(r.might_contain for r in sm)
+    # merge = DISTINCT UNION of bit tables: bits(A ∪ B) == bits(A) ∪ bits(B)
+    from pyspark.sql import functions as F
+
+    a = bloom_build(df.filter(F.col("doc_id") % 2 == 0))
+    b = bloom_build(df.filter(F.col("doc_id") % 2 == 1))
+    merged = {r.bit_pos for r in a.unionByName(b).distinct().collect()}
+    assert merged == {r.bit_pos for r in bits.collect()}
