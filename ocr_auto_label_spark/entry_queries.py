@@ -221,11 +221,102 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token_cnt").alias("cnt"),
         F.col("sbo_mean").alias("val"),
     )
+    # Trained hashed-LR quality classifier (CCNet-style fastText-like
+    # filter): 3 GD iterations with the algebraic sigmoid + ordered
+    # folds ⇒ TRAINING ITSELF is bit-reproducible, and the DuckDB
+    # oracle replays the whole loop (weights AND per-doc scores
+    # compared RAW, no quantization).
+    from ocr_auto_label_spark.operators.quality_model import (
+        LR_BUCKETS,
+        train_quality_lr,
+    )
+
+    lr_w, _, lr_scored = train_quality_lr(
+        docs, label_expr=(F.col("lang") == "en")
+    )
+    lrw = spark.createDataFrame(
+        [(b, lr_w[b]) for b in range(LR_BUCKETS)], "bucket int, w double"
+    ).select(
+        F.lit("lr_weight").alias("variant"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("bucket").cast("long").alias("cnt"),
+        F.col("w").alias("val"),
+    )
+    lrs = lr_scored.select(
+        F.lit("lr_score").alias("variant"),
+        F.col("id").cast("string").alias("k"),
+        F.col("y").cast("long").alias("cnt"),
+        F.col("score").alias("val"),
+    )
     return (
         long_stats.unionByName(nll).unionByName(dup).unionByName(top)
         .unionByName(qs).unionByName(spans).unionByName(dsir)
-        .unionByName(tfidf).unionByName(sbo)
+        .unionByName(tfidf).unionByName(sbo).unionByName(lrw)
+        .unionByName(lrs)
     )
+
+
+def _lr_duck_ctes() -> tuple[str, str]:
+    """Chained-CTE replay of the hashed-LR training loop
+    (operators/quality_model.py) — per iteration: bucket-ordered dot
+    fold → algebraic sigmoid error → doc-ordered gradient fold →
+    ``w − 0.5·(g/N)``.  Returns (ctes_sql, final_weight_cte)."""
+    from ocr_auto_label_spark.functions.xxh64_sql import xxh64_str_staged_sql
+    from ocr_auto_label_spark.operators.quality_model import (
+        LR_BUCKETS,
+        LR_ITERATIONS,
+    )
+
+    lr_hash = xxh64_str_staged_sql("FROM (SELECT word FROM vocab) lv", "word")
+    zero = "CAST(0.0 AS DOUBLE)"
+    sig = (
+        "(CAST(0.5 AS DOUBLE) + dot / (CAST(2.0 AS DOUBLE) * "
+        "(CAST(1.0 AS DOUBLE) + abs(dot))))"
+    )
+    ctes = [
+        f"lfw AS MATERIALIZED (SELECT word, CAST(__xxh_u % {LR_BUCKETS} AS "
+        f"BIGINT) AS bucket FROM ({lr_hash}) zl)",
+        "lfc AS MATERIALIZED (SELECT t.doc_id, CASE WHEN d.lang = 'en' "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE {zero} END AS y, w.bucket, "
+        "count(*) AS cnt FROM toksf t JOIN lfw w USING (word) "
+        "JOIN documents d ON t.doc_id = d.doc_id GROUP BY 1, 2, 3)",
+        "lfx AS MATERIALIZED (SELECT f.doc_id, f.y, f.bucket, "
+        "CAST(f.cnt AS DOUBLE) / CAST(s.dl AS DOUBLE) AS x FROM lfc f "
+        "JOIN (SELECT doc_id, sum(cnt) AS dl FROM lfc GROUP BY 1) s "
+        "ON f.doc_id = s.doc_id)",
+        "lnd AS (SELECT count(DISTINCT doc_id) AS nd FROM lfx)",
+        f"lw0 AS MATERIALIZED (SELECT CAST(unnest(range({LR_BUCKETS})) AS "
+        f"BIGINT) AS bucket, {zero} AS w)",
+    ]
+    for k in range(LR_ITERATIONS):
+        ctes.append(
+            f"ldt{k} AS (SELECT f.doc_id, f.y, list_reduce(list_prepend("
+            f"{zero}, list(w.w * f.x ORDER BY f.bucket)), (a, s) -> a + s)"
+            f" AS dot FROM lfx f JOIN lw{k} w USING (bucket) "
+            "GROUP BY f.doc_id, f.y)"
+        )
+        ctes.append(
+            f"ler{k} AS (SELECT doc_id, {sig} - y AS e FROM ldt{k})"
+        )
+        ctes.append(
+            f"lgr{k} AS (SELECT f.bucket, list_reduce(list_prepend("
+            f"{zero}, list(er.e * f.x ORDER BY f.doc_id)), (a, s) -> a + s)"
+            f" AS g FROM lfx f JOIN ler{k} er USING (doc_id) "
+            "GROUP BY f.bucket)"
+        )
+        ctes.append(
+            f"lw{k + 1} AS MATERIALIZED (SELECT w.bucket, w.w - "
+            f"CAST(0.5 AS DOUBLE) * (coalesce(g.g, {zero}) / "
+            f"CAST(n.nd AS DOUBLE)) AS w FROM lw{k} w LEFT JOIN lgr{k} g "
+            "USING (bucket) CROSS JOIN lnd n)"
+        )
+    final = f"lw{LR_ITERATIONS}"
+    ctes.append(
+        f"ldtf AS (SELECT f.doc_id, f.y, list_reduce(list_prepend({zero}, "
+        "list(w.w * f.x ORDER BY f.bucket)), (a, s) -> a + s) AS dot "
+        f"FROM lfx f JOIN {final} w USING (bucket) GROUP BY f.doc_id, f.y)"
+    )
+    return ",\n".join(ctes), final
 
 
 def _text_quality_stats_duck() -> str:
@@ -237,6 +328,11 @@ def _text_quality_stats_duck() -> str:
     )
     _duck_tokens_len = f"len({_duck_tokens('text')})"
     gram_hash = xxh64_str_staged_sql("FROM dvocab", "gram")
+    lr_ctes, lr_final = _lr_duck_ctes()
+    lr_sig = (
+        "(CAST(0.5 AS DOUBLE) + dot / (CAST(2.0 AS DOUBLE) * "
+        "(CAST(1.0 AS DOUBLE) + abs(dot))))"
+    )
     return f"""
 WITH w AS ({_textstats_sql('duck')}),
 toks AS (
@@ -345,7 +441,8 @@ trk AS (
          score
   FROM (SELECT t.doc_id, t.term, t.tf,
                CAST(t.tf AS DOUBLE) * (tn.n_docs + 1) / (d.dfc + 1) AS score
-        FROM ttf t JOIN tdf d USING (term) CROSS JOIN tn) s)
+        FROM ttf t JOIN tdf d USING (term) CROSS JOIN tn) s),
+{lr_ctes}
 {unions}
 UNION ALL
 SELECT 'unigram_nll' AS variant, CAST(doc_id AS VARCHAR) AS k,
@@ -384,6 +481,14 @@ UNION ALL
 SELECT 'sbo_meanprob' AS variant, CAST(doc_id AS VARCHAR) AS k,
        CAST(token_cnt AS BIGINT) AS cnt, sbo AS val
 FROM sfold
+UNION ALL
+SELECT 'lr_weight' AS variant, CAST(bucket AS VARCHAR) AS k,
+       CAST(bucket AS BIGINT) AS cnt, w AS val
+FROM {lr_final}
+UNION ALL
+SELECT 'lr_score' AS variant, CAST(doc_id AS VARCHAR) AS k,
+       CAST(y AS BIGINT) AS cnt, {lr_sig} AS val
+FROM ldtf
 """
 
 
