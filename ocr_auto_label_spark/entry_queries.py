@@ -256,15 +256,18 @@ def _text_quality_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lr_duck_ctes() -> tuple[str, str]:
+def _lr_duck_ctes() -> tuple[str, str, str]:
     """Chained-CTE replay of the hashed-LR training loop
     (operators/quality_model.py) — per iteration: bucket-ordered dot
     fold → algebraic sigmoid error → doc-ordered gradient fold →
-    ``w − 0.5·(g/N)``.  Returns (ctes_sql, final_weight_cte)."""
+    ``w − lr·(g/N)``.  Returns (ctes_sql, final_weight_cte, sigmoid_sql)
+    — the sigmoid string is shared with the score union leg so the two
+    copies can never drift."""
     from ocr_auto_label_spark.functions.xxh64_sql import xxh64_str_staged_sql
     from ocr_auto_label_spark.operators.quality_model import (
         LR_BUCKETS,
         LR_ITERATIONS,
+        LR_RATE,
     )
 
     lr_hash = xxh64_str_staged_sql("FROM (SELECT word FROM vocab) lv", "word")
@@ -306,7 +309,7 @@ def _lr_duck_ctes() -> tuple[str, str]:
         )
         ctes.append(
             f"lw{k + 1} AS MATERIALIZED (SELECT w.bucket, w.w - "
-            f"CAST(0.5 AS DOUBLE) * (coalesce(g.g, {zero}) / "
+            f"CAST({LR_RATE!r} AS DOUBLE) * (coalesce(g.g, {zero}) / "
             f"CAST(n.nd AS DOUBLE)) AS w FROM lw{k} w LEFT JOIN lgr{k} g "
             "USING (bucket) CROSS JOIN lnd n)"
         )
@@ -316,7 +319,7 @@ def _lr_duck_ctes() -> tuple[str, str]:
         "list(w.w * f.x ORDER BY f.bucket)), (a, s) -> a + s) AS dot "
         f"FROM lfx f JOIN {final} w USING (bucket) GROUP BY f.doc_id, f.y)"
     )
-    return ",\n".join(ctes), final
+    return ",\n".join(ctes), final, sig
 
 
 def _text_quality_stats_duck() -> str:
@@ -328,11 +331,7 @@ def _text_quality_stats_duck() -> str:
     )
     _duck_tokens_len = f"len({_duck_tokens('text')})"
     gram_hash = xxh64_str_staged_sql("FROM dvocab", "gram")
-    lr_ctes, lr_final = _lr_duck_ctes()
-    lr_sig = (
-        "(CAST(0.5 AS DOUBLE) + dot / (CAST(2.0 AS DOUBLE) * "
-        "(CAST(1.0 AS DOUBLE) + abs(dot))))"
-    )
+    lr_ctes, lr_final, lr_sig = _lr_duck_ctes()
     return f"""
 WITH w AS ({_textstats_sql('duck')}),
 toks AS (
@@ -1252,10 +1251,13 @@ def _f1_f5_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     base = spark.sql(_F1_F5_BASE_SQL.format(str_t="STRING"))
     # spread the single-file scan: the index build's tokenize+explode map
-    # side is the CPU-dense part (no-op on multi-file production layouts)
+    # side is the CPU-dense part (no-op on multi-file production layouts);
+    # then materialize once — seven operators below (index, bm25, phrase,
+    # true counts, CMS, Bloom, HLL) each derive their own token stream,
+    # and without the checkpoint each would re-read the parquet
     docs = ensure_parallelism(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+    ).localCheckpoint(eager=True)
     idx = build_inverted_index(docs)
     posting = idx.filter(
         F.col("term").isin(list(_SEARCH_POSTING_TERMS))
@@ -1468,8 +1470,11 @@ def _f1_f5_suite_duck() -> str:
         f"ELSE {k_hll + 1} - length(ltrim(bin(CAST(hu % {two_k} "
         "AS BIGINT)), '0')) END"
     )
+    # coalesce mirrors the Spark side: an empty corpus sums to NULL,
+    # which must read as 0 set registers, not a NULL estimate
     hll_stot = (
-        f"(CAST(h.s_hit AS HUGEINT) + CAST({m_hll} - h.n_hit AS HUGEINT)"
+        f"(CAST(coalesce(h.s_hit, 0) AS HUGEINT) + "
+        f"CAST({m_hll} - h.n_hit AS HUGEINT)"
         f" * CAST({1 << kp1} AS HUGEINT))"
     )
     hll_raw = f"(CAST({numer!r} AS DOUBLE) / CAST({hll_stot} AS DOUBLE))"
@@ -1600,7 +1605,11 @@ def _w2_ordering_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("turn_rank").cast("long").alias("v1"),
         F.lit(None).cast("long").alias("v2"),
     )
-    tr = spark.read.parquet(transcripts_parquet(2_000))
+    from ocr_auto_label_spark.operators.util import ensure_parallelism
+
+    # spread the single-file pinned-corpus scan (the documented
+    # single-file-scan trap; no-op on multi-file production layouts)
+    tr = ensure_parallelism(spark.read.parquet(transcripts_parquet(2_000)))
     sft = render_sft_examples(tr)
     text_rows = sft.select(
         F.lit("sft_text").alias("variant"),
@@ -1721,25 +1730,29 @@ def _j1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clicks = events.filter(F.col("event_type") == "click")
-
-    def _asof_rows(name: str, tol: int | None) -> DataFrame:
-        aj = asof_join(
-            purch.select("event_id", "user_id", "ts"),
-            clicks,
-            on=["user_id"],
-            tolerance_us=tol,
-        )
-        return aj.select(
-            F.lit(name).alias("variant"),
-            F.col("event_id").cast("string").alias("k"),
-            F.col("asof_event_id").cast("long").alias("v1"),
-            F.col("asof_gap_us").cast("long").alias("v2"),
-        )
-
-    return (
-        ranged.unionByName(_asof_rows("asof", None))
-        .unionByName(_asof_rows("asof_tol", _ASOF_TOL_US))
+    # ONE as-of pass; the tolerance variant is a pure post-filter on
+    # the gap (exactly how the DuckDB oracle derives it from one jas
+    # CTE) — running the union+window twice would double the entry's
+    # shuffle work for identical output
+    aj = asof_join(
+        purch.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
     )
+    in_tol = F.col("asof_gap_us") <= F.lit(_ASOF_TOL_US)
+    asof_rows = aj.select(
+        F.lit("asof").alias("variant"),
+        F.col("event_id").cast("string").alias("k"),
+        F.col("asof_event_id").cast("long").alias("v1"),
+        F.col("asof_gap_us").cast("long").alias("v2"),
+    )
+    tol_rows = aj.select(
+        F.lit("asof_tol").alias("variant"),
+        F.col("event_id").cast("string").alias("k"),
+        F.when(in_tol, F.col("asof_event_id")).cast("long").alias("v1"),
+        F.when(in_tol, F.col("asof_gap_us")).cast("long").alias("v2"),
+    )
+    return ranged.unionByName(asof_rows).unionByName(tol_rows)
 
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,9 +24,9 @@ the vocabulary plus a SINGLE-ROW driver pull (the argmax pair — the
 bounded-pull pattern of connected_components/IVF); ties break by
 (count DESC, a ASC, b ASC), a total order, so training is bit-
 reproducible at any parallelism and replayable as a static chained-CTE
-SQL oracle.  For large ``n_merges`` the caller should
-``localCheckpoint`` every ~25 steps to keep the replace-chain lineage
-bounded (same pattern as the CC pointer-jumping loop).
+SQL oracle.  The training loop re-checkpoints the vocabulary every 25
+merges so the replace-chain lineage stays bounded at any ``n_merges``
+(same pattern as the CC pointer-jumping loop).
 """
 
 from __future__ import annotations
@@ -37,8 +37,12 @@ from ocr_auto_label_spark.operators.textstats import word_tokens
 
 
 def _q(s: str) -> str:
-    """Escape a symbol for embedding in a single-quoted SQL literal."""
-    return s.replace("'", "''")
+    """Escape a symbol for embedding in a single-quoted Spark SQL
+    literal.  Backslashes FIRST: Spark string literals process escape
+    sequences, so an unescaped '\\' would corrupt the merge pattern
+    (silently un-merging the real pair and potentially merging an
+    unrelated one) on corpora with code/paths/LaTeX tokens."""
+    return s.replace("\\", "\\\\").replace("'", "''")
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,6 +131,11 @@ def bpe_train(
                 f"replace(seq, ' {_q(a)}  {_q(b)} ', ' {_q(merged)} ')"
             ),
         )
+        if (step + 1) % 25 == 0:
+            # bound the replace-chain lineage: each step's pair count
+            # re-evaluates the chain, so an unbounded chain is O(steps²)
+            # and eventually trips codegen/analyzer depth limits
+            words = words.localCheckpoint(eager=True)
     return merges, words
 
 

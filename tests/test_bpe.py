@@ -109,3 +109,19 @@ def test_bpe_exhaustion_raises(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="merge capacity"):
         bpe_train(df, 1)
+
+
+def test_bpe_backslash_symbols_survive_sql_escaping(spark):
+    # review finding: Spark string literals process backslash escapes,
+    # so an unescaped '\' in a merge pattern silently corrupted the
+    # rewrite; symbols from code/path corpora must merge correctly
+    data = [(0, r"a\b a\b a\b x\ x\ x\ c'd c'd")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    wc = _word_counts([data[0][1]])
+    want_merges, want_seqs, _ = _ref_train(wc, 3)
+    merges, words = bpe_train(df, 3)
+    got = [(m["step"], m["a"], m["b"], m["merged"], m["total"]) for m in merges]
+    assert got == want_merges
+    assert {
+        r.word: r.seq.strip().split("  ") for r in words.collect()
+    } == want_seqs
