@@ -62,6 +62,13 @@ def main() -> None:
     p.add_argument("--dsir-keep-percent", type=int, default=None,
                    help="keep only the top X%% of docs by DSIR importance "
                         "weight toward --dsir-target-lang (before the split)")
+    p.add_argument("--quality-label-lang", default=None,
+                   help="target lang label for the trained hashed-LR "
+                        "quality filter")
+    p.add_argument("--quality-keep-percent", type=int, default=None,
+                   help="train the LR quality model and keep only the "
+                        "top X%% of docs by its score (model-based "
+                        "selection, before DSIR)")
     p.add_argument("--bpe-merges", type=int, default=0,
                    help="train a BPE tokenizer (this many merges) on the "
                         "curated TRAIN split and write the merge table + "
@@ -95,6 +102,8 @@ def main() -> None:
             dsir_keep_percent=args.dsir_keep_percent,
             span_dedup_width=args.span_dedup_width,
             bpe_merges=args.bpe_merges,
+            quality_label_lang=args.quality_label_lang,
+            quality_keep_percent=args.quality_keep_percent,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

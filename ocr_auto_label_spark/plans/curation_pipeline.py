@@ -105,6 +105,8 @@ def curate_corpus(
     lang_col: str = "lang",
     span_dedup_width: int = 0,
     bpe_merges: int = 0,
+    quality_label_lang: str | None = None,
+    quality_keep_percent: int | None = None,
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -144,6 +146,19 @@ def curate_corpus(
     ``{output_dir}/bpe_merges`` (the ordered merge table an encoder
     replays) and ``{output_dir}/bpe_vocab`` (the weighted symbol
     inventory); the summary gains ``bpe_vocab_size``.
+    With ``quality_keep_percent`` (+ ``quality_label_lang``) the TRAINED
+    quality classifier is put to work as a MODEL-BASED selection stage
+    (the fastText-filter step of CCNet/RedPajama): a hashed-LR model is
+    trained on the surviving corpus against the target-language label
+    (``operators/quality_model.py`` — bit-reproducible training), its
+    weights land at ``{output_dir}/quality_model`` and per-doc scores at
+    ``{output_dir}/quality_scores`` as audit artifacts, and only docs at
+    or above the exact nearest-rank (100−keep)th-percentile score
+    survive (MICRO-quantized ladder + ``exact_group_quantiles`` — LR
+    scores live in a narrow band around 0.5, so DSIR's milli ladder
+    would collapse the ranking).  Runs before DSIR so the two compose:
+    model-based first, importance-ratio second.  Docs with no tokens
+    have no score and drop.
     With ``dsir_keep_percent`` (+ ``dsir_target_lang``) a DSIR data
     SELECTION stage runs before the split: per-doc hashed-bigram
     importance weights (``dsir_logweights``), milli-quantized, and only
@@ -225,6 +240,64 @@ def curate_corpus(
         }
     else:
         span_stats_get = dict
+    qual_stats = {}
+    if quality_keep_percent is not None:
+        # model-based quality selection: train the hashed-LR filter on
+        # the surviving corpus, keep the top X% by score.  Training is
+        # bit-reproducible (algebraic sigmoid + ordered folds), so the
+        # kept set is identical at any parallelism; the fraction cut
+        # reuses the DSIR milli-ladder + exact nearest-rank machinery.
+        if quality_label_lang is None:
+            raise ValueError(
+                "quality_keep_percent requires quality_label_lang"
+            )
+        if not 1 <= quality_keep_percent <= 99:
+            raise ValueError("quality_keep_percent must be in [1, 99]")
+        from ocr_auto_label_spark.operators.quality_model import (
+            LR_BUCKETS,
+            train_quality_lr,
+        )
+        from ocr_auto_label_spark.operators.textstats import (
+            exact_group_quantiles,
+        )
+
+        qw, _, qscored = train_quality_lr(
+            deduped,
+            label_expr=(F.col(lang_col) == quality_label_lang),
+            id_col=id_col,
+            text_col=text_col,
+        )
+        qm_path = f"{output_dir}/quality_model"
+        spark.createDataFrame(
+            [(b, qw[b]) for b in range(LR_BUCKETS)], "bucket int, w double"
+        ).write.mode("overwrite").parquet(qm_path)
+        qs_path = f"{output_dir}/quality_scores"
+        qscored.select(
+            F.col("id").alias(id_col),
+            "y",
+            "score",
+            # micro (1e-6) ladder, not DSIR's milli: LR scores live in a
+            # narrow band around 0.5, and a coarser ladder would
+            # collapse the ranking into one tie bucket
+            F.floor(F.col("score") * 1000000).cast("long").alias("ms"),
+        ).write.mode("overwrite").parquet(qs_path)
+        qms = spark.read.parquet(qs_path).select(id_col, "ms")
+        qthr = exact_group_quantiles(
+            qms.withColumn("__g", F.lit(1)), "ms", "__g",
+            percentiles=(100 - quality_keep_percent,),
+        ).first()
+        if qthr is None:
+            raise ValueError(
+                "quality selection: no document produced a score"
+            )
+        qkeep = qms.filter(F.col("ms") >= qthr["val"]).select(id_col)
+        deduped = deduped.join(qkeep, id_col, "left_semi")
+        qual_stats = {
+            "quality_model_path": qm_path,
+            "quality_scores_path": qs_path,
+            "quality_threshold_micro": int(qthr["val"]),
+            "quality_kept": qkeep.count(),
+        }
     dsir_stats = {}
     if dsir_keep_percent is not None:
         # DSIR data SELECTION (Xie et al. 2023): keep the docs that look
@@ -465,6 +538,7 @@ def curate_corpus(
         **sem_stats,
         **sem_decon_stats,
         **span_stats_get(),
+        **qual_stats,
         **dsir_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],

@@ -476,3 +476,48 @@ def test_curation_with_bpe_tokenizer_training(spark, tmp_path):
     assert vocab == {
         r.symbol: r.total for r in bpe_vocab(want_words).collect()
     }
+
+
+def test_curation_with_quality_model_selection(spark, tmp_path):
+    from test_quality_model import _py_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "qual")
+    summary = curate_corpus(
+        spark, docs, out,
+        quality_label_lang="en", quality_keep_percent=40, **GATES,
+    )
+    # twin: replicate gates+dedup survivors, train the same model, and
+    # apply the same milli-quantized nearest-rank cut
+    survivors = {
+        r.doc_id: (r.lang, r.text)
+        for r in spark.read.parquet(f"{out}/quality_scores")
+        .join(docs, "doc_id").collect()
+    }
+    rows = [(d, lang == "en", t) for d, (lang, t) in survivors.items()]
+    _, scores = _py_train(rows)
+    import math
+
+    ms = sorted(math.floor(s * 1000000) for _, s in scores.values())
+    rank = math.ceil(60 * len(ms) / 100)  # (100-keep)th nearest-rank
+    thr = ms[rank - 1]
+    want_kept = {
+        d for d, (_, s) in scores.items() if math.floor(s * 1000000) >= thr
+    }
+    assert summary["quality_threshold_micro"] == thr
+    assert summary["quality_kept"] == len(want_kept)
+    got_kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/curated").collect()
+    }
+    assert got_kept == want_kept
+    # the model artifact matches the twin's trained weights exactly
+    ww, _ = _py_train(rows)
+    got_w = {
+        r.bucket: r.w
+        for r in spark.read.parquet(f"{out}/quality_model").collect()
+    }
+    assert got_w == {b: ww[b] for b in range(len(ww))}
+    with pytest.raises(ValueError):
+        curate_corpus(spark, docs, str(tmp_path / "bad"),
+                      quality_keep_percent=40, **GATES)
