@@ -2647,6 +2647,25 @@ def _streaming_deduped_counts(spark: SparkSession) -> DataFrame:
     )
 
 
+def _streaming_cms_sketch(spark: SparkSession) -> DataFrame:
+    """§2.9 + sketches: availableNow drain of the streaming count-min
+    sketch (streaming/pipeline.py:run_term_sketch) over the pinned
+    transcript corpus's text stream; returns the final grid."""
+    import tempfile
+    import uuid
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.streaming.pipeline import run_term_sketch
+
+    inp = transcripts_parquet(2_000)
+    name = f"cms_stream_{uuid.uuid4().hex[:8]}"
+    q = run_term_sketch(
+        spark, inp, tempfile.mkdtemp(prefix="sketch_q_"), query_name=name
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _streaming_pipeline_duck() -> str:
     """DuckDB oracle for the drained streaming pipeline (VERDICT r3 #6):
     the STREAMING mechanics aren't SQL-expressible, but every drained
@@ -2668,6 +2687,11 @@ def _streaming_pipeline_duck() -> str:
     from ocr_auto_label_spark.datagen import transcripts_parquet
     from ocr_auto_label_spark.functions.confusion_sql import repair_query_sql
     from ocr_auto_label_spark.functions.flagship_sql import token_matches_sql
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        xxh64_int4_py,
+        xxh64_str_staged_sql,
+    )
+    from ocr_auto_label_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
 
     p42 = transcripts_parquet(2_000)
     p11 = transcripts_parquet(2_000, seed=11)
@@ -2676,6 +2700,24 @@ def _streaming_pipeline_duck() -> str:
         "duck", "FROM matches", carry_cols=["conv_id", "turn_idx"],
         code_col="token",
     )
+    # streaming-CMS rebuild: distinct text-token vocab hashed once per
+    # hash row (chained-seed staged XXH64), weighted by occurrence
+    cms_ctes, cms_legs = [], []
+    for j in range(CMS_DEPTH):
+        seed = f"CAST({xxh64_int4_py(j, 42)} AS HUGEINT)"
+        vh = xxh64_str_staged_sql("FROM cvoc", "term", seed)
+        cms_ctes.append(
+            f"cgr{j} AS (SELECT CAST(__xxh_u % {CMS_WIDTH} AS BIGINT) AS "
+            f"bucket, sum(cnt) AS gcnt FROM ({vh}) zc{j} GROUP BY 1)"
+        )
+        cms_legs.append(
+            f"SELECT 'sketch_stream' AS variant, CAST(NULL AS VARCHAR) AS "
+            f"window_start_iso, CAST({j} AS VARCHAR) || '/' || "
+            f"CAST(bucket AS VARCHAR) AS conv_id, CAST(gcnt AS BIGINT) AS "
+            f"turns, CAST(NULL AS BIGINT) AS turns_with_label FROM cgr{j}"
+        )
+    cms_with = ",\n".join(cms_ctes)
+    cms_union = " UNION ALL ".join(cms_legs)
     return f"""
 WITH src AS (SELECT conv_id, turn_idx, ts, text, tool
              FROM read_parquet('{p42}/*.parquet')),
@@ -2694,7 +2736,13 @@ turns AS (
     ON s.conv_id = h.conv_id AND s.turn_idx = h.turn_idx),
 w AS (SELECT conv_id, CAST(floor(epoch(ts)/120)*120 AS BIGINT) AS ws,
              has_label FROM turns),
-mx AS (SELECT max(epoch(ts)) AS mx FROM src)
+mx AS (SELECT max(epoch(ts)) AS mx FROM src),
+cvoc AS MATERIALIZED (
+  SELECT term, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> ''))
+      AS term FROM src) zc GROUP BY term),
+{cms_with}
 SELECT 'windowed' AS variant,
        strftime(make_timestamp(ws*1000000), '%Y-%m-%d %H:%M:%S') AS window_start_iso,
        conv_id, count(*) AS turns,
@@ -2709,6 +2757,8 @@ UNION ALL
 SELECT 'dedup_ingest' AS variant, CAST(NULL AS VARCHAR) AS window_start_iso,
        conv_id, count(*) AS turns, CAST(NULL AS BIGINT) AS turns_with_label
 FROM read_parquet('{p11}/*.parquet') GROUP BY conv_id
+UNION ALL
+{cms_union}
 """
 
 
@@ -2734,7 +2784,17 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turns",
         F.lit(None).cast("long").alias("turns_with_label"),
     )
-    return win.unionByName(st).unionByName(dd)
+    # streaming CMS: the batch sketch operator run UNCHANGED on the
+    # stream (complete mode is bounded because the grid is); the
+    # drained grid is compared cell-for-cell against the DuckDB rebuild
+    sk = _streaming_cms_sketch(spark).select(
+        F.lit("sketch_stream").alias("variant"),
+        F.lit(None).cast("string").alias("window_start_iso"),
+        F.concat_ws("/", F.col("row_j"), F.col("bucket")).alias("conv_id"),
+        F.col("cnt").cast("long").alias("turns"),
+        F.lit(None).cast("long").alias("turns_with_label"),
+    )
+    return win.unionByName(st).unionByName(dd).unionByName(sk)
 
 
 def _lifecycle_e2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,3 +146,33 @@ def run_deduped_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_term_sketch(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str,
+) -> StreamingQuery:
+    """Streaming count-min sketch over the transcript text stream — the
+    sketch module's "same operator serves batch and streaming" claim
+    made literal: ``operators.sketch.cms_build`` runs UNCHANGED on the
+    stream (explode + aggregate are stream-native), and complete-mode
+    output is safe precisely because the sketch is constant-size — the
+    state and the emitted table are both ≤ depth×width cells no matter
+    how long the stream runs.  An availableNow drain's final grid is
+    bit-identical to the batch sketch over the same files (cell sums
+    are order-independent integers)."""
+    from ocr_auto_label_spark.operators.sketch import cms_build
+
+    sketch = cms_build(
+        read_transcript_stream(spark, input_path).select("text")
+    )
+    return (
+        sketch.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

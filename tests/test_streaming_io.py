@@ -156,3 +156,30 @@ def test_deduped_ingest_drops_watermark_duplicates(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 300
     assert got.select("conv_id", "turn_idx").distinct().count() == 300
+
+
+def test_streaming_sketch_equals_batch_sketch(spark, tmp_path):
+    """The SAME cms_build operator on the stream vs on the batch read:
+    the drained complete-mode grid is cell-for-cell identical (integer
+    sums are order/microbatch-independent) — the sketch-as-streaming-
+    state claim made concrete."""
+    import uuid
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.sketch import cms_build
+    from ocr_auto_label_spark.streaming.pipeline import run_term_sketch
+
+    inp = transcripts_parquet(2_000)
+    name = f"cms_stream_t_{uuid.uuid4().hex[:8]}"
+    q = run_term_sketch(spark, inp, str(tmp_path / "ckpt"), query_name=name)
+    q.awaitTermination()
+    streamed = {
+        (r.row_j, r.bucket): r.cnt for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.row_j, r.bucket): r.cnt
+        for r in cms_build(
+            spark.read.parquet(inp).select("text")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
