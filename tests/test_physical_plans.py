@@ -370,3 +370,35 @@ def test_asof_join_is_windowed_not_joined(spark):
     assert "Join" not in plan and "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_filters_query_terms_before_the_tf_shuffle(spark):
+    """The tf aggregation must touch only query-term rows: the isin
+    filter sits below the exchange, so shuffle volume is O(query
+    postings), not O(corpus tokens).  Everything stays JVM-side."""
+    from ocr_auto_label_spark.operators.search import bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_search(docs, ["merge", "spark", "window"]))
+    assert "BatchEvalPython" not in plan and "Cartesian" not in plan
+    # the filter appears as a scan-side predicate (term IN (...)),
+    # i.e. before any Exchange consumes it
+    assert plan.index("merge") < plan.index("Exchange")
+
+
+def test_sketch_builds_are_single_pass_single_shuffle(spark):
+    """CMS/Bloom/HLL builds: one tokenize+explode map pass feeding one
+    map-side-combined aggregate — exactly one Exchange each, no Python,
+    no joins."""
+    from ocr_auto_label_spark.operators.sketch import (
+        bloom_build,
+        cms_build,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for build in (cms_build, bloom_build, hll_registers):
+        plan = _plan(build(docs))
+        assert plan.count("Exchange hashpartitioning") == 1, build.__name__
+        assert "BatchEvalPython" not in plan, build.__name__
+        assert "Join" not in plan, build.__name__

@@ -169,3 +169,10 @@ def test_max_df_excludes_hot_terms_at_build_time(spark):
     assert got == want and len(want) < len(post)
     with pytest.raises(ValueError):
         build_inverted_index(df, max_df=0)
+
+
+def test_search_operators_survive_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_search(empty, ["merge"]).count() == 0
+    assert phrase_search(empty, ["a", "b"]).count() == 0
+    assert build_inverted_index(empty).count() == 0

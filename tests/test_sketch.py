@@ -172,3 +172,33 @@ def test_bloom_filter_invariants(spark):
     b = bloom_build(df.filter(F.col("doc_id") % 2 == 1))
     merged = {r.bit_pos for r in a.unionByName(b).distinct().collect()}
     assert merged == {r.bit_pos for r in bits.collect()}
+
+
+def test_sketches_survive_empty_corpus(spark):
+    from ocr_auto_label_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+        cms_build,
+        cms_estimate,
+        hll_constants,
+        hll_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sk = cms_build(empty)
+    assert sk.count() == 0
+    assert [(r.term, r.est) for r in cms_estimate(sk, ["x"]).collect()] \
+        == [("x", 0)]
+    bits = bloom_build(empty)
+    probe = bloom_might_contain(bits, ["x"]).collect()[0]
+    assert (probe.hits, probe.might_contain) == (0, False)
+    regs = hll_registers(empty)
+    assert regs.count() == 0
+    row = hll_estimate(regs).first()
+    m, _, numer = hll_constants(10)
+    # zero set registers: raw = alpha*m (every register contributes
+    # 2^kp1), corrected = m*ln(m/m) = 0.0
+    assert row.n_buckets_hit == 0
+    assert row.estimate_raw == numer / float(m * (1 << (64 - 10 + 1)))
+    assert row.estimate == 0.0
