@@ -70,6 +70,25 @@ def build_inverted_index(
     )
 
 
+def merge_inverted_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two inverted indexes built over DISJOINT document sets:
+    per term, df counts add and posting lists concatenate + re-sort —
+    so the index can be built incrementally (per partition, per day,
+    per ingest batch) and folded together, exactly like the sketches:
+    index(A ∪ B) == merge(index(A), index(B)) when A ∩ B = ∅ (the
+    caller's contract; overlapping ids would double-count df)."""
+    return (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(
+            F.sum("df_cnt").alias("df_cnt"),
+            F.sort_array(F.flatten(F.collect_list("postings"))).alias(
+                "postings"
+            ),
+        )
+    )
+
+
 def boolean_search(index: DataFrame, must_terms: list[str]) -> DataFrame:
     """Doc ids containing ALL of ``must_terms`` (AND semantics), by
     posting intersection: explode only the query terms' postings, count

@@ -176,3 +176,22 @@ def test_search_operators_survive_empty_corpus(spark):
     assert bm25_search(empty, ["merge"]).count() == 0
     assert phrase_search(empty, ["a", "b"]).count() == 0
     assert build_inverted_index(empty).count() == 0
+
+
+def test_inverted_index_merge_identity(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_auto_label_spark.operators.search import merge_inverted_index
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = build_inverted_index(df.filter(F.col("doc_id") % 2 == 0))
+    b = build_inverted_index(df.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        r.term: (r.df_cnt, list(r.postings))
+        for r in merge_inverted_index(a, b).collect()
+    }
+    whole = {
+        r.term: (r.df_cnt, list(r.postings))
+        for r in build_inverted_index(df).collect()
+    }
+    assert merged == whole  # incremental build == one-shot build
