@@ -2083,9 +2083,12 @@ ptok AS (SELECT d.doc_id, hsig.h,
                 CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS tc
          FROM documents d JOIN hsig ON d.doc_id = hsig.doc_id),
 pcum AS MATERIALIZED (
+  -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT; without the cast
+  -- every leg of the UNION widens to HUGEINT and the driver value-hash
+  -- diverges from Spark's BIGINT rendering (r4's one red row).
   SELECT doc_id, shard, tc,
-         sum(tc) OVER (PARTITION BY shard ORDER BY h, doc_id
-                       ROWS UNBOUNDED PRECEDING) - tc AS off
+         CAST(sum(tc) OVER (PARTITION BY shard ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) - tc AS BIGINT) AS off
   FROM ptok),
 s AS MATERIALIZED (SELECT doc_id, bucket,
              CASE WHEN bucket < {lo} THEN 0 WHEN bucket < {hi} THEN 1 ELSE 2 END AS idx
@@ -2147,7 +2150,7 @@ SELECT 'pack_offset', CAST(doc_id AS VARCHAR), off, tc FROM pcum
 UNION ALL
 SELECT 'pack_summary',
        CAST(shard AS VARCHAR) || '/' || CAST(off // {_PACK_BUDGET} AS VARCHAR),
-       count(*), sum(tc)
+       count(*), CAST(sum(tc) AS BIGINT)
 FROM pcum GROUP BY shard, off // {_PACK_BUDGET}
 UNION ALL
 SELECT 'chunk_assign',
@@ -2967,7 +2970,8 @@ matched AS (
     AND len(list_filter(t.mw, w -> list_contains(n.mw, w))) >= 2
   GROUP BY t.id)
 SELECT f.id, f.source, f.grp AS "group", m.inferred AS inferred_group,
-       CASE WHEN m.inferred IS NOT NULL THEN 0.7 END AS grouping_confidence
+       CAST(CASE WHEN m.inferred IS NOT NULL THEN 0.7 END AS DOUBLE)
+         AS grouping_confidence
 FROM frame f LEFT JOIN matched m ON f.id = m.id
 """
 

@@ -52,6 +52,60 @@ def _normalize(rows, cols):
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
+# The driver's value-hash canonicalization is rendering-sensitive: DuckDB
+# HUGEINT round-trips through pandas as float64 ("425.0" vs Spark BIGINT's
+# "425"), DECIMAL as decimal.Decimal, FLOAT (float32) with different repr
+# precision than DOUBLE.  DuckDB silently widens — windowed/plain
+# sum(BIGINT) returns HUGEINT, HUGEINT propagates through arithmetic — so
+# any oracle leg touching sum() can regress the whole UNION (this killed
+# `dedup_exact_hash` in round 4).  Forbid those types at the oracle output
+# boundary; every oracle column must be the exact BIGINT/INTEGER/DOUBLE/
+# VARCHAR/BOOLEAN/TIMESTAMP family Spark emits.
+_WIDENED = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+            "UTINYINT", "DECIMAL", "FLOAT")
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_types_never_widen(duck, name):
+    """Bind-only (no execution, no Spark): DuckDB resolves output column
+    types at bind time, so a widened UNION leg fails here in milliseconds."""
+    rel = duck.sql(entry_mod.oracle_sql()[name])
+    widened = [
+        (c, str(t).upper())
+        for c, t in zip(rel.columns, rel.types)
+        if any(w in str(t).upper() for w in _WIDENED)
+    ]
+    assert not widened, (
+        f"{name}: oracle output widened to driver-hash-unsafe types "
+        f"{widened} — CAST the offending expression (sum() returns HUGEINT "
+        f"in DuckDB) back to BIGINT/DOUBLE"
+    )
+
+
+def _type_family(type_str: str) -> str:
+    """Canonical family for a Spark simpleString or DuckDB type string."""
+    t = type_str.upper()
+    if t.startswith(("ARRAY", "LIST", "STRUCT", "MAP")) or "[]" in t:
+        return "nested"
+    if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT", "HUGEINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("BINARY", "BLOB"):
+        return "binary"
+    return t
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
@@ -65,6 +119,14 @@ def test_query_matches_oracle(spark, duck, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+
+    # cross-engine type parity (judge directive r4 #2): same family per
+    # column name on both sides, so silent DuckDB widening or a Spark-side
+    # decimal literal can't diverge the driver's rendering-sensitive hash.
+    sfam = {f.name: _type_family(f.dataType.simpleString()) for f in sdf.schema}
+    dfam = {c: _type_family(str(t)) for c, t in zip(dcols, res.types)}
+    mism = {c: (sfam[c], dfam[c]) for c in sfam if sfam[c] != dfam.get(c)}
+    assert not mism, f"{name}: type-family mismatch spark vs duck: {mism}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     got, want = _normalize(srows, scols), _normalize(drows, dcols)
     mismatches = [(a, b) for a, b in zip(got, want) if a != b]
