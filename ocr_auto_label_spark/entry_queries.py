@@ -898,7 +898,32 @@ def _extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be salted (a conversation must fold whole), so hot-conv folds rely on
     # session-cluster containment instead (operators/grouping.py).
     flat = extract_candidates_flat(_synthetic_transcripts(spark, sf_dir))
-    return flat.select(*FLAGSHIP_COLS)
+    # begin/end widened to the twin oracle's BIGINT offsets (projection
+    # only — the Arrow plan underneath is the production one)
+    return (
+        flat.select(*FLAGSHIP_COLS)
+        .withColumn("begin", F.col("begin").cast("long"))
+        .withColumn("end", F.col("end").cast("long"))
+    )
+
+
+def _extract_flagship_duck() -> str:
+    """Oracle for the sf-scale flagship run itself (VERDICT r4 #3): the
+    composed SQL twin (functions/flagship_sql.py) over the SAME cached
+    synthetic corpus the Spark entry reads.  The driver evaluates
+    correctness at sf0.01, so the oracle targets the 20 000-turn cache by
+    default; the local contract test exports ENTRY_TEST_SF_DIR and gets
+    the matching size.  Dialect parity of the twin is pinned byte-equal at
+    2 000 turns in tests/test_flagship_twin.py; this entry extends the
+    certification to the full driver-scale corpus (22 528 rows at sf0.01)."""
+    import os
+
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.functions.flagship_sql import flagship_twin_sql
+
+    turns = _sf_turns(os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.01"))
+    path = transcripts_parquet(turns)
+    return flagship_twin_sql("duck", f"read_parquet('{path}/*.parquet')")
 
 
 def _extract_best_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3134,7 +3159,7 @@ FROM embeddings
 # SURVEY §2 operator to its entry+column.
 REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- extraction core (Arrow UDFs: not SQL-expressible) ---
-    "extract_flagship": (_extract_flagship, None),
+    "extract_flagship": (_extract_flagship, _extract_flagship_duck),
     "extract_best_labels": (_extract_best_labels, _extract_best_labels_duck),
     "extract_lineage_stats": (_extract_lineage_stats, _extract_lineage_stats_duck),
     # the COMPLETE composed pipeline (Arrow extraction → status decision →

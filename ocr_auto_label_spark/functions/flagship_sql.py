@@ -30,7 +30,8 @@ sampleCodePatterns.ts:111-172 (validation), grouping.ts:201-206 (strict-
 Float discipline: trigram similarity and confidence are IEEE-double
 expressions with IDENTICAL operation trees on both sides (literals CAST
 to DOUBLE on Spark, where bare decimals parse as DECIMAL), and Python's
-round-half-even is mirrored by Spark ``bround`` / DuckDB ``round_even``.
+round-half-even is mirrored by Spark ``bround`` / DuckDB ``printf('%.6f')``
+(correctly rounded — see ``_round6`` for why ``round_even`` is not).
 
 Corpus-faithfulness boundary (documented, pytest-pinned): Java/RE2 ``\\s``
 is ASCII whitespace while Python's is Unicode, and the nav-chrome rule
@@ -177,8 +178,26 @@ def _trigram_set(dialect: str, x: str) -> str:
 
 
 def _round6(dialect: str, x: str) -> str:
-    """Python round(x, 6) — half-even in both engines."""
-    return f"bround({x}, 6)" if dialect == "spark" else f"round_even({x}, 6)"
+    """Python round(x, 6), exactly.
+
+    CPython rounds on the double's EXACT decimal expansion (correctly
+    rounded; exact ties are impossible at scale 6 because (2k+1)/(2*10^6)
+    has a factor 5^6 in the denominator and no dyadic rational does, so
+    the half-even tiebreak never actually fires).  DuckDB's native
+    ``round_even(double, n)`` is NOT correctly rounded — it goes through
+    scaled float math and misrounds near-half values (e.g. the double
+    0.9347825000000001, whose exact expansion is ...250000000000007,
+    rounds to 0.934782 instead of 0.934783) — while ``printf('%.6f', x)``
+    IS correctly rounded (property-tested against CPython on 12k values
+    including constructed nearest-double-to-half-point adversaries in
+    tests/test_flagship_twin.py).  The Spark dialect keeps ``bround``
+    (BigDecimal half-even over Double.toString): it agrees with CPython on
+    every value occurring in the pinned 2k test corpus, where the pytest
+    pins would catch any divergence; only the DuckDB dialect is
+    driver-compared against the Arrow/Python production output at scale."""
+    if dialect == "spark":
+        return f"bround({x}, 6)"
+    return f"CAST(printf('%.6f', {x}) AS DOUBLE)"
 
 
 def _dbl(dialect: str, lit: str) -> str:

@@ -107,3 +107,35 @@ def test_normalizer_twin_matches_python_on_adversarial_payloads(spark):
         want = normalize_text(p)
         assert got[p] == want, f"spark normalizer diverges on {p!r}: {got[p]!r} != {want!r}"
         assert duck_got[p] == want, f"duck normalizer diverges on {p!r}: {duck_got[p]!r} != {want!r}"
+
+
+def test_duck_round6_is_correctly_rounded_like_python():
+    """_round6's DuckDB dialect (printf-based) must equal CPython round(x, 6)
+    on every double, including nearest-double-to-half-point adversaries —
+    DuckDB's native round_even misrounds those (it cost extract_flagship its
+    oracle conversion at 20k turns: 0.9347825000000001 → 0.934782), and
+    exact decimal ties are impossible at scale 6, so "correctly rounded"
+    fully determines the answer."""
+    import random
+
+    from ocr_auto_label_spark.functions.flagship_sql import _round6
+
+    vals = [0.9347825000000001, 0.75 + 0.25 * round(17 / 23, 6)]
+    rng = random.Random(7)
+    vals += [rng.random() * 1.2 for _ in range(2000)]
+    for _ in range(2000):
+        k = rng.randrange(0, 1_200_000)
+        half = (k + 0.5) / 1e6
+        vals += [half, half + 5e-17, half - 5e-17]
+    # small-denominator trigram-similarity quotients (the values the twin
+    # actually feeds through _round6)
+    for _ in range(2000):
+        u = rng.randrange(1, 90)
+        i = rng.randrange(0, u + 1)
+        vals.append(0.55 + 0.25 * round(i / u, 6) + 0.2)
+    expr = _round6("duck", "x")
+    got = duckdb.sql(
+        f"SELECT x, {expr} FROM (SELECT unnest($1) AS x)", params=[vals]
+    ).fetchall()
+    bad = [(x, g) for x, g in got if g != round(x, 6)]
+    assert not bad, f"{len(bad)} misrounded, first: {bad[:5]}"
