@@ -2365,17 +2365,27 @@ def _embed_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five approximate paths in one entry (recall < 1 by design →
-    rows-only): hyperplane-LSH single-probe top-k, IVF nprobe top-k, the
-    MATERIALIZED-index probe (write partitioned by cluster, probe via
-    partition-pruned scans — r2's 50th entry, merged here to free a
-    window slot), product-quantization ADC top-k (vectors compressed to
-    m uint8 codes; search never touches raw vectors), and near-dup pairs
-    blocked by the computed LSH signature (the composition that scales
-    to unlabeled corpora — the blocking key is computed, not given).
-    Normalized to (variant, id_a, id_b, cosine); for the top-k variants
-    id_a is the query's id (0)."""
+    """All five approximate paths in one entry — ORACLE-BACKED since r5
+    (VERDICT r4 #5 and beyond): hyperplane-LSH single-probe top-k, IVF
+    nprobe top-k, the MATERIALIZED-index probe (write partitioned by
+    cluster, probe via partition-pruned scans), product-quantization ADC
+    top-k (vectors compressed to m uint8 codes; search never touches raw
+    vectors), near-dup pairs blocked by the computed LSH signature, plus
+    the recall@10 evidence rows: for each probe family, one row counting
+    hits against the exact brute-force top-10 (id_a = k, id_b = hits,
+    cosine = recall).
+
+    "Recall < 1 by design" blocked a brute-force oracle, never an oracle
+    per se: the DuckDB side now replays each ANN index itself —
+    bit-exact fold replays for every cosine/assignment score, the
+    hyperplane signatures from the XXH64 spec, and the driver-side numpy
+    artifacts (IVF probe cells, PQ codebooks + the query LUT) recomputed
+    by the ORACLE GENERATOR with the identical numpy/python code and
+    folded in as literals (the same device as Spark's own plan, which
+    also embeds them as literals).  Normalized to (variant, id_a, id_b,
+    cosine); for the top-k variants id_a is the query's id (0)."""
     from ocr_auto_label_spark.operators.similarity import (
+        brute_force_topk,
         cosine_neardup_pairs,
         hyperplane_signature,
         ivf_topk,
@@ -2395,15 +2405,22 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
 
-    lsh = norm_topk(lsh_bucketed_topk(emb, q, k=10, bits=4), "lsh_topk")
-    ivf = norm_topk(ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4), "ivf_topk")
+    brute = brute_force_topk(emb, q, k=10)
+    lsh10 = lsh_bucketed_topk(emb, q, k=10, bits=4)
+    ivf10 = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+    pq10 = pq_topk(emb, pq_train(emb, m=8, k=16), q, k=10)
+    lsh = norm_topk(lsh10, "lsh_topk")
+    ivf = norm_topk(ivf10, "ivf_topk")
     idx = norm_topk(_embed_ivf_index_probe(spark, sf_dir), "ivf_index_probe")
-    # product quantization (64-float vector → m uint8 codes; ADC search
-    # over codes only) — cosine reported via cos = 1 - d²/2 on the unit
-    # sphere, so the normalized schema holds for the compressed path too
+    # product quantization — cosine reported via cos = 1 - d²/2 on the
+    # unit sphere (UNROUNDED: approx_d2 is already 6-dp and a second
+    # HALF_UP round would land exactly on a decimal half whenever d2's
+    # last digit is odd — the one case where cross-engine rounding
+    # genuinely diverges; the raw double is bit-equal instead)
     pq = norm_topk(
-        pq_topk(emb, pq_train(emb, m=8, k=16), q, k=10)
-        .select("vec_id", F.round(1 - F.col("approx_d2") / 2, 6).alias("cosine")),
+        pq10.select(
+            "vec_id", (F.lit(1.0) - F.col("approx_d2") / 2).alias("cosine")
+        ),
         "pq_topk",
     )
     blocked = cosine_neardup_pairs(
@@ -2416,7 +2433,262 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
     )
-    return lsh.unionByName(ivf).unionByName(idx).unionByName(pq).unionByName(blocked)
+
+    def recall(ann: DataFrame, variant: str) -> DataFrame:
+        # deterministic integer hit count vs the exact top-10 (both sides
+        # order by rounded cosine with id tie-break — a total order)
+        return (
+            ann.select("vec_id")
+            .join(brute.select("vec_id"), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("h"))
+            .select(
+                F.lit(variant).alias("variant"),
+                F.lit(10).cast("long").alias("id_a"),
+                F.col("h").cast("long").alias("id_b"),
+                (F.col("h") / F.lit(10.0)).alias("cosine"),
+            )
+        )
+
+    return (
+        lsh.unionByName(ivf).unionByName(idx).unionByName(pq)
+        .unionByName(blocked)
+        .unionByName(recall(lsh10, "recall_lsh"))
+        .unionByName(recall(ivf10, "recall_ivf"))
+        .unionByName(recall(pq10, "recall_pq"))
+    )
+
+
+# ---- the ANN oracle generator: replays every index in DuckDB ----------
+
+_ANN_DIM = 64
+_ANN_NCENT = 16
+_ANN_NPROBE = 4
+_ANN_PQ_M = 8
+_ANN_PQ_K = 16
+_ANN_K = 10
+
+
+def _ann_dbl(x: float) -> str:
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _ann_fold_sum(items_sql: str) -> str:
+    """Ordered left fold — replays Spark ``aggregate(…, 0D, (s,v)->s+v)``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items_sql}), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _ann_lsh_sig_sql(bits: int, vec_col: str) -> str:
+    """Hyperplane-LSH signature replay over a DOUBLE[] column: the ±1
+    plane weights come from the XXH64 spec in Python (the Spark
+    IntegerType chain — seed 42, child hash as next seed), the sign fold
+    replays the left-to-right double accumulation exactly."""
+    from ocr_auto_label_spark.functions.xxh64_sql import xxh64_int4_py
+
+    terms = []
+    for p in range(bits):
+        w = [
+            "1.0" if (xxh64_int4_py(p, xxh64_int4_py(i, 42)) >> 1) & 1 else "-1.0"
+            for i in range(_ANN_DIM)
+        ]
+        prods = (
+            f"list_transform(range(1, {_ANN_DIM + 1}), "
+            f"j -> {vec_col}[j] * ([{', '.join(w)}])[j])"
+        )
+        terms.append(
+            f"(CASE WHEN {_ann_fold_sum(prods)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _embed_ann_variants_duck() -> str:
+    """Full DuckDB replay of the ANN suite.  The generator (not the SQL)
+    recomputes the three driver-side artifacts with the very code the
+    Spark operators use — centroid picks via the XXH64-in-SQL compiler,
+    IVF probe cells via the same numpy argsort, PQ codebooks/LUT via the
+    same python/numpy float ops — and folds them into the query as
+    literals, exactly as Spark's own plan embeds them.  Everything else
+    is a bit-exact fold replay, so the top-k sets, cosines, AND the
+    recall hit counts are value-hash-comparable.  Reads the embeddings
+    parquet at ENTRY_TEST_SF_DIR (default: the driver's sf0.01), the
+    extract_flagship precedent."""
+    import math
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from ocr_auto_label_spark.functions.xxh64_sql import (
+        apply_stages,
+        to_signed,
+        xxh64_long8_stages,
+    )
+
+    sf_dir = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    hashed = apply_stages(
+        f"SELECT vec_id FROM read_parquet('{path}')",
+        xxh64_long8_stages("vec_id", "42"),
+    )
+    cent_rows = con.execute(
+        f"""
+        WITH hv AS (SELECT vec_id, {to_signed('__l8_u')} AS h FROM ({hashed}))
+        SELECT e.vec_id, e.embedding FROM hv
+        JOIN read_parquet('{path}') e USING (vec_id)
+        ORDER BY hv.h, hv.vec_id LIMIT {_ANN_NCENT}"""
+    ).fetchall()
+    centroids = [(i, [float(x) for x in v]) for i, (_, v) in enumerate(cent_rows)]
+    q = [
+        float(x)
+        for x in con.execute(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchone()[0]
+    ]
+    con.close()
+
+    # IVF probe cells — the same numpy ivf_topk runs driver-side
+    qa = np.asarray(q)
+    cmat = np.asarray([v for _, v in centroids])
+    sims = (cmat @ qa) / (
+        np.linalg.norm(cmat, axis=1) * np.linalg.norm(qa) + 1e-12
+    )
+    probes = [centroids[i][0] for i in np.argsort(-sims)[:_ANN_NPROBE]]
+
+    # PQ codebooks + query LUT — the same python/numpy as pq_train/pq_topk
+    sub = _ANN_DIM // _ANN_PQ_M
+    vecs = []
+    for _, v in centroids[:_ANN_PQ_K]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        vecs.append([x / n for x in v])
+    codebooks = [
+        [v[s * sub:(s + 1) * sub] for v in vecs] for s in range(_ANN_PQ_M)
+    ]
+    qn = qa / (np.linalg.norm(qa) + 1e-300)
+    lut: list[float] = []
+    for s, book in enumerate(codebooks):
+        qs = qn[s * sub:(s + 1) * sub]
+        for cent in book:
+            lut.append(float(np.sum((qs - np.asarray(cent)) ** 2)))
+    lut_lit = "[" + ", ".join(_ann_dbl(x) for x in lut) + "]"
+
+    q_arr = "[" + ", ".join(_ann_dbl(x) for x in q) + "]"
+    dot_q = _ann_fold_sum(
+        f"list_transform(range(1, {_ANN_DIM + 1}), j -> v[j] * ({q_arr})[j])"
+    )
+    qnorm = f"sqrt({_ann_fold_sum(f'list_transform({q_arr}, x -> x * x)')})"
+    cos_q = f"round({dot_q} / (vn * {qnorm}), 6)"
+    sq_norm = _ann_fold_sum(
+        f"list_transform(range(1, {_ANN_DIM + 1}), "
+        "j -> CAST(embedding AS DOUBLE[])[j] * CAST(embedding AS DOUBLE[])[j])"
+    )
+
+    cent_vals = ", ".join(
+        "({i}, [{vals}], {n})".format(
+            i=i,
+            vals=", ".join(_ann_dbl(x) for x in v),
+            n=_ann_dbl(math.sqrt(sum(x * x for x in v))),
+        )
+        for i, v in centroids
+    )
+    dot_c = _ann_fold_sum(
+        f"list_transform(range(1, {_ANN_DIM + 1}), j -> e.v[j] * c.cv[j])"
+    )
+
+    d_cols = []
+    for s in range(_ANN_PQ_M):
+        cents = ", ".join(
+            "[" + ", ".join(_ann_dbl(x) for x in cvec) + "]"
+            for cvec in codebooks[s]
+        )
+        subvec = f"list_transform(range(1, {sub + 1}), j -> nv[{s * sub} + j])"
+        dist_fold = _ann_fold_sum(
+            f"list_transform(range(1, {sub + 1}), "
+            f"j -> (({subvec})[j] - c[j]) * (({subvec})[j] - c[j]))"
+        )
+        d_cols.append(f"list_transform([{cents}], c -> {dist_fold}) AS d{s}")
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) - 1 AS INT)"
+        f" AS c{s}"
+        for s in range(_ANN_PQ_M)
+    )
+    adc = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + ({lut_lit})[{s} * {_ANN_PQ_K} + c{s} + 1]"
+        for s in range(_ANN_PQ_M)
+    )
+
+    probes_in = ", ".join(str(p) for p in probes)
+    sig4 = _ann_lsh_sig_sql(4, "v")
+    sig6 = _ann_lsh_sig_sql(6, "v")
+    pair_dot = _ann_fold_sum(
+        f"list_transform(range(1, {_ANN_DIM + 1}), j -> a.v[j] * b.v[j])"
+    )
+    K = _ANN_K
+
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt({sq_norm}) AS vn
+  FROM embeddings),
+sc AS MATERIALIZED (SELECT vec_id, {cos_q} AS cos FROM e),
+bt AS MATERIALIZED (SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT {K}),
+sg AS MATERIALIZED (SELECT vec_id, {sig4} AS sig4, {sig6} AS sig6 FROM e),
+lt AS MATERIALIZED (
+  SELECT sc.vec_id, sc.cos FROM sc JOIN sg USING (vec_id)
+  WHERE sg.sig4 = (SELECT sig4 FROM sg WHERE vec_id = 0)
+  ORDER BY sc.cos DESC, sc.vec_id LIMIT {K}),
+cent(c_id, cv, cn) AS (SELECT * FROM (VALUES {cent_vals})),
+asg AS MATERIALIZED (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {dot_c} / (e.vn * c.cn + 1e-300) DESC, c.c_id) AS rn
+    FROM e CROSS JOIN cent c) z WHERE rn = 1),
+it AS MATERIALIZED (
+  SELECT sc.vec_id, sc.cos FROM sc JOIN asg USING (vec_id)
+  WHERE asg.c_id IN ({probes_in})
+  ORDER BY sc.cos DESC, sc.vec_id LIMIT {K}),
+pqv AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, {_ANN_DIM + 1}),
+                                j -> v[j] / (vn + 1e-300)) AS nv
+  FROM e),
+pqd AS MATERIALIZED (SELECT vec_id, {', '.join(d_cols)} FROM pqv),
+pqc AS MATERIALIZED (SELECT vec_id, {code_cols} FROM pqd),
+pt AS MATERIALIZED (
+  SELECT vec_id, round({adc}, 6) AS approx_d2 FROM pqc
+  ORDER BY approx_d2 ASC, vec_id LIMIT {K}),
+blk AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({pair_dot} / (a.vn * b.vn), 6) AS cosine
+  FROM (SELECT e.*, sg.sig6 FROM e JOIN sg USING (vec_id)) a
+  JOIN (SELECT e.*, sg.sig6 FROM e JOIN sg USING (vec_id)) b
+    ON a.sig6 = b.sig6 AND a.vec_id < b.vec_id)
+SELECT 'lsh_topk' AS variant, CAST(0 AS BIGINT) AS id_a,
+       CAST(vec_id AS BIGINT) AS id_b, cos AS cosine FROM lt
+UNION ALL
+SELECT 'ivf_topk', CAST(0 AS BIGINT), CAST(vec_id AS BIGINT), cos FROM it
+UNION ALL
+SELECT 'ivf_index_probe', CAST(0 AS BIGINT), CAST(vec_id AS BIGINT), cos FROM it
+UNION ALL
+SELECT 'pq_topk', CAST(0 AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(1.0 AS DOUBLE) - approx_d2 / 2 FROM pt
+UNION ALL
+SELECT 'lsh_blocked_neardup', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+       cosine FROM blk WHERE cosine >= 0.9
+UNION ALL
+SELECT 'recall_lsh', CAST({K} AS BIGINT),
+       CAST(count(*) AS BIGINT), count(*) / {K}.0
+FROM lt JOIN bt USING (vec_id)
+UNION ALL
+SELECT 'recall_ivf', CAST({K} AS BIGINT),
+       CAST(count(*) AS BIGINT), count(*) / {K}.0
+FROM it JOIN bt USING (vec_id)
+UNION ALL
+SELECT 'recall_pq', CAST({K} AS BIGINT),
+       CAST(count(*) AS BIGINT), count(*) / {K}.0
+FROM pt JOIN bt USING (vec_id)
+"""
 
 
 def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3523,7 +3795,10 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     # --- training-data ops: similarity search ---
     "embed_cosine_topk": (_embed_topk, _DUCK_TOPK),
     "embed_neardup_pairs": (_embed_neardup, _embed_neardup_duck()),
-    "embed_ann_variants": (_embed_ann_variants, None),  # recall<1 by design
+    # oracle-backed since r5: the DuckDB side replays every ANN index
+    # (bit-exact folds; generator-recomputed probe/codebook literals) and
+    # the recall@10 rows give the driver-visible recall evidence
+    "embed_ann_variants": (_embed_ann_variants, _embed_ann_variants_duck),
     # --- training-data ops: text analysis ---
     # long-normalized panel metrics + the unigram-NLL corpus-LM quality
     # proxy (real operator, AQE-chosen vocab join) in one entry

@@ -16,6 +16,11 @@ from ocr_auto_label_spark.entry_queries import REGISTRY, TABLES
 import os
 
 SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+# sf-dependent oracle GENERATORS (extract_flagship's twin corpus, the ANN
+# replay's probe/codebook literals) read this env var with a driver-scale
+# sf0.01 default — pin it to the directory this test run actually uses so
+# both sides always see the same input
+os.environ["ENTRY_TEST_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -168,4 +173,4 @@ def test_registry_fits_driver_evaluation_window():
     entry must stay inside that window (merge entries, don't append
     past 50; see COVERAGE.md)."""
     assert len(REGISTRY) <= 50
-    assert len(entry_mod.oracle_sql()) >= 48  # oracle coverage must not regress
+    assert len(entry_mod.oracle_sql()) >= 49  # oracle coverage must not regress
