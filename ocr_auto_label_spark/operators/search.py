@@ -10,11 +10,12 @@ module is that pair of operators, both pure relational:
 - :func:`build_inverted_index`: one (doc, term)-distinct aggregate (the
   explode carries each doc's DISTINCT terms once) and one term-keyed
   aggregate; posting lists are ``sort_array``-pinned so the index is
-  byte-deterministic under any partitioning.  On a real deployment the
-  index is written ``partitionBy`` of a term prefix/hash bucket so a
-  query prunes to its terms' partitions (the IVF-index pattern,
-  ``similarity.py:ivf_write_index``); the in-plan form here composes
-  with that write unchanged.
+  byte-deterministic under any partitioning.  The materialized form is
+  :func:`write_search_index` — written ``partitionBy(pmod(xxhash64(term),
+  B))`` so a query prunes to its terms' partitions (the IVF-index
+  pattern, ``similarity.py:ivf_write_index``; pruning plan-asserted),
+  with (id, tf) postings and a doc-length sidecar so BM25 runs from the
+  index too (:func:`bm25_search_indexed`, bit-identical scores).
 - :func:`boolean_search`: AND-semantics over the index — explode the
   query terms' postings, count per doc, keep docs hit by ALL terms.
   Work is O(Σ posting lengths of the query terms), never a corpus scan;
@@ -89,6 +90,132 @@ def merge_inverted_index(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def write_search_index(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> None:
+    """Materialize the search index, PARTITIONED BY TERM-HASH BUCKET —
+    the IVF-index pattern (``similarity.py:ivf_write_index``) applied to
+    text: ``term_bucket = pmod(xxhash64(term), n_buckets)`` is the
+    partition column, so a query's index read prunes at the file-listing
+    level to its terms' buckets instead of scanning the whole index
+    (plan-asserted in tests/test_physical_plans.py).
+
+    Two tables under ``path``:
+    - ``{path}/terms``: (term, df_cnt, postings, tf_postings) — sorted id
+      postings for boolean intersection plus (id, tf) postings for
+      index-backed BM25, partitioned by term_bucket;
+    - ``{path}/doclens``: (id, dl) — the per-document token lengths BM25
+      needs for its saturation term (a corpus-keyed sidecar: doc lengths
+      are query-independent, so they live outside the bucketed layout).
+
+    ``max_df`` is the same build-time stopword cutoff as
+    :func:`build_inverted_index` — at corpus scale a stopword's posting
+    list must never reach an aggregation buffer."""
+    toks = F.filter(word_tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    )
+    tf = tok_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if max_df is not None:
+        if max_df <= 0:
+            raise ValueError("write_search_index: max_df must be positive")
+        keep = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("term")
+        )
+        tf = tf.join(keep, "term")
+    index = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_cnt"),
+            F.sort_array(F.collect_list("id")).alias("postings"),
+            F.sort_array(F.collect_list(F.struct("id", "tf"))).alias(
+                "tf_postings"
+            ),
+        )
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+    )
+    index.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/terms"
+    )
+    dl = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+
+
+def term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
+    """The index buckets holding ``terms`` — one tiny Spark job so the
+    hash family stays the single JVM implementation (the same device
+    ``lsh_bucketed_topk`` uses for the query signature).  Bounded pull:
+    len(terms) rows."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = tdf.select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+    ).collect()
+    return sorted({int(r.b) for r in rows})
+
+
+def read_index_terms(
+    spark, path: str, terms: list[str], n_buckets: int
+) -> DataFrame:
+    """The query terms' slice of a materialized index: the term_bucket
+    predicate prunes partitions at file listing, the term predicate
+    prunes row groups inside the surviving buckets."""
+    buckets = term_buckets(spark, terms, n_buckets)
+    return (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+    )
+
+
+def boolean_search_indexed(
+    spark, path: str, must_terms: list[str], n_buckets: int = 16
+) -> DataFrame:
+    """:func:`boolean_search` against a MATERIALIZED index — reads only
+    the query terms' buckets (partition-pruned)."""
+    must_terms = [t.lower() for t in must_terms]
+    return boolean_search(
+        read_index_terms(spark, path, must_terms, n_buckets), must_terms
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    n_buckets: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int | None = None,
+) -> DataFrame:
+    """:func:`bm25_search` answered from the MATERIALIZED index: tf rows
+    come from the query terms' (partition-pruned) tf_postings, df from
+    the stored df_cnt, lengths from the doclens sidecar — no corpus
+    scan.  Bit-identical scores to the corpus-scan path (same exact op
+    tree over equal integer inputs; pytest identity)."""
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_search_indexed: query_terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_search_indexed: query_terms must be distinct")
+    idx = read_index_terms(spark, path, terms, n_buckets)
+    tf = idx.select(
+        "term", F.explode("tf_postings").alias("p")
+    ).select(F.col("p.id").alias("id"), "term", F.col("p.tf").alias("tf"))
+    dft = idx.select("term", F.col("df_cnt").alias("df_t"))
+    dl = spark.read.parquet(f"{path}/doclens")
+    return _bm25_score(tf, dft, dl, terms, k1, b, top_k)
+
+
 def boolean_search(index: DataFrame, must_terms: list[str]) -> DataFrame:
     """Doc ids containing ALL of ``must_terms`` (AND semantics), by
     posting intersection: explode only the query terms' postings, count
@@ -153,15 +280,31 @@ def bm25_search(
         F.col(id_col).alias("id"), F.explode(toks).alias("term")
     )
     dl = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
-    )
     tf = (
         tok_rows.filter(F.col("term").isin(terms))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    return _bm25_score(tf, dft, dl, terms, k1, b, top_k)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dft: DataFrame,
+    dl: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    top_k: int | None,
+) -> DataFrame:
+    """The shared BM25 scoring tail over (id, term, tf) / (term, df_t) /
+    (id, dl) parts — ONE implementation for the corpus-scan and
+    materialized-index paths, so their score doubles are bit-identical by
+    construction (the parts are integer-valued and equal)."""
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
     # constants are folded in PYTHON and embedded as exact double
     # literals so the oracle generator can embed the very same values
     k1p1, omb = k1 + 1.0, 1.0 - b

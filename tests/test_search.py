@@ -195,3 +195,61 @@ def test_inverted_index_merge_identity(spark):
         for r in build_inverted_index(df).collect()
     }
     assert merged == whole  # incremental build == one-shot build
+
+
+def test_materialized_index_identity_and_bm25(spark, tmp_path):
+    """The materialized term-bucketed index answers boolean AND + BM25
+    identically to the in-plan / corpus-scan paths — including the BM25
+    score doubles (shared scoring tail over equal integer parts)."""
+    from ocr_auto_label_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        boolean_search,
+        boolean_search_indexed,
+        build_inverted_index,
+        write_search_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "search_index")
+    write_search_index(docs, path, n_buckets=8)
+    terms = ["merge", "spark", "window"]
+
+    want_bool = {r.id for r in boolean_search(build_inverted_index(docs), terms).collect()}
+    got_bool = {r.id for r in boolean_search_indexed(spark, path, terms, 8).collect()}
+    assert got_bool == want_bool and want_bool
+
+    want_bm = {(r.id, r.dl, r.score) for r in bm25_search(docs, terms, top_k=25).collect()}
+    got_bm = {(r.id, r.dl, r.score)
+              for r in bm25_search_indexed(spark, path, terms, 8, top_k=25).collect()}
+    assert got_bm == want_bm
+
+
+def test_search_index_probe_is_partition_pruned(spark, tmp_path):
+    """A materialized-index query reads ONLY its terms' buckets: the scan's
+    partition filters carry term_bucket (mirror of the IVF index test) —
+    the detail that keeps index reads sub-linear at web scale."""
+    from ocr_auto_label_spark.operators.search import (
+        boolean_search_indexed,
+        read_index_terms,
+        term_buckets,
+        write_search_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "search_index")
+    write_search_index(docs, path, n_buckets=8)
+    terms = ["merge", "spark", "window"]
+    # the probe must hit a strict subset of buckets for pruning to mean
+    # anything on this fixture
+    assert len(term_buckets(spark, terms, 8)) < 8
+
+    probe = read_index_terms(spark, path, terms, 8)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:300]
+
+    out = boolean_search_indexed(spark, path, terms, 8)
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan2.split("PartitionFilters")[1][:300]
+    assert out.count() >= 1
