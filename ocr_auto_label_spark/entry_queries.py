@@ -741,6 +741,66 @@ def _multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_profile(synth_media(spark, n=120))
 
 
+def _multimodal_profile_duck() -> str:
+    """Golden-replay oracle (r5 — the last rows-only entry converted):
+    the generator recomputes the expected profile OUTSIDE Spark from the
+    same deterministic synthetic rows — the REAL stdlib-wave codec for
+    audio, the byte-derived fallback for the env-blocked image/video
+    decoders, the resize rule via the Decimal(repr)·HALF_UP device that
+    replicates Spark's BigDecimal rounding, frame counts by integer
+    arithmetic — and emits it as a VALUES table.
+
+    What the driver row certifies: the distributed plumbing end-to-end —
+    mapInPandas Arrow batching, the float32 feature round-trip, the
+    ordered fold, the join/fill composition — produces exactly the
+    reference computation's bytes at any parallelism.  What it does NOT
+    certify: the codec algorithms themselves against an independent
+    implementation (the decode IS the reference; its from-scratch checks
+    live in tests/test_fuzzy_multimodal.py).  Documented in ORACLES.md."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from ocr_auto_label_spark.operators.multimodal import (
+        WavAudioCodec,
+        synth_media_rows,
+    )
+
+    rows = synth_media_rows(n=120, seed=13)
+    payloads = pd.Series([bytes(p) for _, _, p, _ in rows])
+    mtypes = pd.Series([mt for _, mt, _, _ in rows])
+    feats = WavAudioCodec().decode_batch(payloads, mtypes)
+
+    out_rows = []
+    for (mid, mt, payload, meta), fvec in zip(rows, feats):
+        w, h, dur, _codec = meta
+        s = 0.0
+        for v in fvec:  # the exact left fold Spark's aggregate() runs
+            s += float(v)
+        needs = int(len(payload) > 4 * 1024 * 1024 or max(w, h) > 1024)
+        scale = min(1.0, 1024 / float(max(w, h)))
+        tw = int(Decimal(repr(w * scale)).quantize(Decimal("1"), ROUND_HALF_UP))
+        th = int(Decimal(repr(h * scale)).quantize(Decimal("1"), ROUND_HALF_UP))
+        n_frames = max(1, dur // 5000) if mt == "video" else 0
+        out_rows.append(
+            f"({mid}, '{mt}', {len(payload)}, CAST({s!r} AS DOUBLE), "
+            f"{needs}, {tw}, {th}, {n_frames})"
+        )
+    vals = ",\n".join(out_rows)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+       CAST(payload_bytes AS INT) AS payload_bytes, feature_sum,
+       CAST(needs_resize AS INT) AS needs_resize,
+       CAST(target_width AS INT) AS target_width,
+       CAST(target_height AS INT) AS target_height,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM (VALUES
+{vals}
+) v(media_id, media_type, payload_bytes, feature_sum, needs_resize,
+    target_width, target_height, n_frames)
+"""
+
+
 def _layout_fixture_sql(dialect: str) -> str:
     """Deterministic layout-block fixture from the documents table, one
     SELECT per dialect with IDENTICAL semantics: each doc gets
@@ -3825,7 +3885,9 @@ REGISTRY: dict[str, tuple[object, str | None]] = {
     "text_quality_stats": (_text_quality_stats_spark, _text_quality_stats_duck()),
     "text_language_id": (_lang_id_spark, _lang_id_query_sql("duck")),
     # --- multimodal (binary payload + typed metadata; codec pluggable) ---
-    "multimodal_profile": (_multimodal_profile, None),
+    # golden-replay oracle since r5 (see _multimodal_profile_duck's
+    # docstring for exactly what the row does and does not certify)
+    "multimodal_profile": (_multimodal_profile, _multimodal_profile_duck),
     # deterministic half (resize planning over typed meta): oracle-backed
     # deterministic planning half (resize rule + PDF/layout-parse leg:
     # reading order + running header/footer removal): oracle-backed

@@ -86,12 +86,10 @@ def _synth_wav_bytes(rng: np.random.Generator, n_samples: int) -> bytes:
     return buf.getvalue()
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 13) -> DataFrame:
-    """Deterministic synthetic media table (no external data).
-
-    Audio rows carry REAL WAV/PCM16 payloads (decodable by
-    ``WavAudioCodec``); image/video payloads are opaque bytes (their
-    decoders are environment-blocked, see ``PillowImageCodec``)."""
+def synth_media_rows(n: int = 64, seed: int = 13) -> list[tuple]:
+    """The deterministic synthetic media rows as plain Python — shared by
+    the Spark table builder below AND the driver-oracle generator, which
+    replays the expected profile from the same rows outside Spark."""
     rng = np.random.default_rng(seed)
     rows = []
     types = ("image", "audio", "video")
@@ -108,7 +106,16 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 13) -> DataFrame:
              int(rng.integers(1000, 60000)) if mt != "image" else 0,
              codecs[mt]),
         ))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 13) -> DataFrame:
+    """Deterministic synthetic media table (no external data).
+
+    Audio rows carry REAL WAV/PCM16 payloads (decodable by
+    ``WavAudioCodec``); image/video payloads are opaque bytes (their
+    decoders are environment-blocked, see ``PillowImageCodec``)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
 
 
 class MediaCodec:
@@ -268,7 +275,11 @@ def media_profile(df: DataFrame, codec: MediaCodec | None = None) -> DataFrame:
         codec = WavAudioCodec()
     feats = extract_features(df, codec=codec).select(
         "media_id", "media_type", "payload_bytes",
-        F.round(F.expr("aggregate(feature, 0D, (s, v) -> s + v)"), 4).alias("feature_sum"),
+        # RAW ordered fold (float32 elements widened to double per add):
+        # bit-reproducible at any parallelism, and the oracle generator
+        # computes the identical double — a round(…, 4) here would
+        # reintroduce the cross-engine HALF_UP ambiguity for nothing
+        F.expr("aggregate(feature, 0D, (s, v) -> s + v)").alias("feature_sum"),
     )
     resize = resize_metadata(df)
     frames = sample_frames(df).groupBy("media_id").agg(
