@@ -336,23 +336,28 @@ def skew_run(n_turns: int) -> dict:
                         shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("OFF")
     df = spark.read.parquet(path)
-    legs: dict[str, float] = {}
-    for name, prep in (
-        ("conv_partitioned_sec", lambda d: d.repartition(CPUS, "conv_id")),
-        ("salted_sec", lambda d: salted_repartition(d, CPUS)),
-    ):
-        out = extract_candidates_flat(prep(df))
-        _materialize(out)  # warm
-        # best-of-2 per leg, same as the suite: single-run timings showed
-        # 2-3× host-variance outliers and the reported salting_speedup
-        # inherits any one-leg outlier (ADVICE r3)
-        best = float("inf")
-        for _ in range(2):
+    plans = {
+        "conv_partitioned_sec": extract_candidates_flat(
+            df.repartition(CPUS, "conv_id")
+        ),
+        "salted_sec": extract_candidates_flat(salted_repartition(df, CPUS)),
+    }
+    # INTERLEAVED reps (the scaling_block methodology, applied here after
+    # a sequential-leg run shipped an inverted 0.399 ratio in r5: a
+    # minutes-long host-noise window that covers one leg's whole
+    # measurement flips the ratio, while alternating legs degrade both
+    # sides of it); best-of-3 per leg — host interference only ever slows
+    # a run, so per-leg bests upward-bound the noise-free times.
+    times: dict[str, float] = {k: float("inf") for k in plans}
+    for out in plans.values():
+        _materialize(out)  # warm both before any timing
+    for _ in range(3):
+        for name, out in plans.items():
             t0 = time.time()
             _materialize(out)
-            best = min(best, time.time() - t0)
-        legs[name] = round(best, 3)
+            times[name] = min(times[name], time.time() - t0)
     spark.stop()
+    legs = {k: round(v, 3) for k, v in times.items()}
     return {
         "turns": n_turns,
         **legs,
