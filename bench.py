@@ -96,7 +96,7 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         if name in VARIANT_BREAKDOWN:
-            breakdown[name] = _variant_breakdown(df)
+            breakdown[name] = _variant_breakdown(df, VARIANT_BREAKDOWN[name])
     extraction_sec = timings["extract_flagship"]
     result = {
         "master": master,
@@ -117,13 +117,28 @@ def run_suite(master: str, shuffle_partitions: int) -> dict:
 # tags rows with a LITERAL variant column, so `variant = 'x'` constant-
 # folds to FALSE inside the other legs and Catalyst prunes them — each
 # filtered materialization executes only its own leg's subtree.
-VARIANT_BREAKDOWN = {"text_quality_stats", "dedup_exact_hash"}
+# Variant lists are STATIC (a distinct() discovery pass would execute the
+# whole union once more per suite run); staleness is pytest-guarded
+# against the live entries (tests/test_entry_contract.py).
+VARIANT_BREAKDOWN = {
+    "text_quality_stats": [
+        "avg_bpe_tokens", "avg_punct", "avg_quality", "avg_tokens",
+        "dsir_logweight", "dup_span_frac", "dup_word_frac", "lr_score",
+        "lr_weight", "p50_tokens", "p90_tokens", "p99_tokens",
+        "sbo_meanprob", "tfidf_top3", "top_bigram_frac", "unigram_nll",
+    ],
+    "dedup_exact_hash": [
+        "bpe_encode", "bpe_merge", "bpe_vocab", "chunk_assign",
+        "chunk_summary", "decontam", "exact_group", "mixture",
+        "mixture_summary", "pack_assign", "pack_offset", "pack_summary",
+        "split_assign", "split_summary",
+    ],
+}
 
 
-def _variant_breakdown(df) -> dict[str, float]:
+def _variant_breakdown(df, variants: list[str]) -> dict[str, float]:
     from pyspark.sql import functions as F
 
-    variants = sorted(r[0] for r in df.select("variant").distinct().collect())
     per: dict[str, float] = {}
     for v in variants:
         sub = df.filter(F.col("variant") == v)

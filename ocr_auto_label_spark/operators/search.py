@@ -103,7 +103,8 @@ def write_search_index(
     text: ``term_bucket = pmod(xxhash64(term), n_buckets)`` is the
     partition column, so a query's index read prunes at the file-listing
     level to its terms' buckets instead of scanning the whole index
-    (plan-asserted in tests/test_physical_plans.py).
+    (plan-asserted in tests/test_search.py::
+    test_search_index_probe_is_partition_pruned).
 
     Two tables under ``path``:
     - ``{path}/terms``: (term, df_cnt, postings, tf_postings) — sorted id
@@ -149,6 +150,17 @@ def write_search_index(
     )
     dl = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    # the bucket count is part of the index layout: persist it so readers
+    # can never probe with a mismatched modulus (a wrong n_buckets makes
+    # ~half the query terms silently vanish behind the partition filter)
+    df.sparkSession.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def index_n_buckets(spark, path: str) -> int:
+    """The bucket count a materialized index was written with."""
+    return int(spark.read.parquet(f"{path}/meta").collect()[0].n_buckets)
 
 
 def term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
@@ -164,11 +176,21 @@ def term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
 
 
 def read_index_terms(
-    spark, path: str, terms: list[str], n_buckets: int
+    spark, path: str, terms: list[str], n_buckets: int | None = None
 ) -> DataFrame:
     """The query terms' slice of a materialized index: the term_bucket
     predicate prunes partitions at file listing, the term predicate
-    prunes row groups inside the surviving buckets."""
+    prunes row groups inside the surviving buckets.  ``n_buckets``
+    defaults to the count PERSISTED with the index; passing a different
+    value is rejected rather than silently dropping ~half the terms."""
+    stored = index_n_buckets(spark, path)
+    if n_buckets is None:
+        n_buckets = stored
+    elif n_buckets != stored:
+        raise ValueError(
+            f"read_index_terms: index at {path} was written with "
+            f"n_buckets={stored}, got {n_buckets}"
+        )
     buckets = term_buckets(spark, terms, n_buckets)
     return (
         spark.read.parquet(f"{path}/terms")
@@ -178,7 +200,7 @@ def read_index_terms(
 
 
 def boolean_search_indexed(
-    spark, path: str, must_terms: list[str], n_buckets: int = 16
+    spark, path: str, must_terms: list[str], n_buckets: int | None = None
 ) -> DataFrame:
     """:func:`boolean_search` against a MATERIALIZED index — reads only
     the query terms' buckets (partition-pruned)."""
@@ -188,11 +210,31 @@ def boolean_search_indexed(
     )
 
 
+def bm25_from_index_slice(
+    spark,
+    idx_slice: DataFrame,
+    path: str,
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 over an ALREADY-READ index slice (the query terms' rows of
+    ``read_index_terms``) — lets a caller that needs several views of
+    the same slice (postings + boolean + ranked) read it once."""
+    tf = idx_slice.select(
+        "term", F.explode("tf_postings").alias("p")
+    ).select(F.col("p.id").alias("id"), "term", F.col("p.tf").alias("tf"))
+    dft = idx_slice.select("term", F.col("df_cnt").alias("df_t"))
+    dl = spark.read.parquet(f"{path}/doclens")
+    return _bm25_score(tf, dft, dl, terms, k1, b, top_k)
+
+
 def bm25_search_indexed(
     spark,
     path: str,
     query_terms: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
     top_k: int | None = None,
@@ -208,12 +250,7 @@ def bm25_search_indexed(
     if len(set(terms)) != len(terms):
         raise ValueError("bm25_search_indexed: query_terms must be distinct")
     idx = read_index_terms(spark, path, terms, n_buckets)
-    tf = idx.select(
-        "term", F.explode("tf_postings").alias("p")
-    ).select(F.col("p.id").alias("id"), "term", F.col("p.tf").alias("tf"))
-    dft = idx.select("term", F.col("df_cnt").alias("df_t"))
-    dl = spark.read.parquet(f"{path}/doclens")
-    return _bm25_score(tf, dft, dl, terms, k1, b, top_k)
+    return bm25_from_index_slice(spark, idx, path, terms, k1, b, top_k)
 
 
 def boolean_search(index: DataFrame, must_terms: list[str]) -> DataFrame:

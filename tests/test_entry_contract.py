@@ -174,3 +174,16 @@ def test_registry_fits_driver_evaluation_window():
     past 50; see COVERAGE.md)."""
     assert len(REGISTRY) <= 50
     assert len(entry_mod.oracle_sql()) >= 50  # oracle coverage must not regress
+
+
+def test_bench_variant_breakdown_lists_are_live(spark):
+    """bench.py's static per-variant lists must match the entries' actual
+    variant sets — a new union leg that isn't in the list would silently
+    miss its per-variant timing (the lists are static so the bench never
+    pays an extra full materialization just to discover names)."""
+    import bench
+
+    for name, variants in bench.VARIANT_BREAKDOWN.items():
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        live = {r[0] for r in df.select("variant").distinct().collect()}
+        assert set(variants) == live, f"{name}: bench list stale vs {live}"
