@@ -176,3 +176,77 @@ def run_term_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def turn_tool_interval_join(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "120 minutes",
+    horizon_minutes: int = 5,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the bounded-state
+    two-stream primitive (the last §2.9 Structured Streaming capability
+    the suite exercises): the turn stream inner-joins the tool-event
+    stream (tool-bearing turns of the same ingest) on conv_id where the
+    tool event lands within ``horizon_minutes`` AFTER the turn.
+
+    Why the shape is scale-safe: BOTH sides carry a watermark and the
+    join predicate carries a closed event-time range, which is exactly
+    what lets Spark expire buffered rows — left state is droppable once
+    the right watermark passes ``ts + horizon``, right state once the
+    left watermark passes ``tool_ts``.  Without either piece the join
+    must buffer one side forever (state O(stream length) — the
+    classic stream-join mistake this function exists to document).
+
+    Drained (availableNow) results equal the batch join over the same
+    files when the watermark covers the ingest's cross-file event-time
+    spread (pytest identity in tests/test_streaming_io.py — the same
+    drain-vs-batch contract every other streaming leg uses)."""
+    base = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    left = base.select("conv_id", "turn_idx", "ts").withWatermark(
+        "ts", watermark
+    )
+    right = (
+        base.filter(F.col("tool").isNotNull())
+        .select(
+            F.col("conv_id").alias("tool_conv"),
+            F.col("ts").alias("tool_ts"),
+        )
+        .withWatermark("tool_ts", watermark)
+    )
+    cond = (
+        (F.col("conv_id") == F.col("tool_conv"))
+        & (F.col("tool_ts") >= F.col("ts"))
+        & (
+            F.col("tool_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+        )
+    )
+    return left.join(right, cond, "inner").select(
+        "conv_id", "turn_idx", "ts", "tool_ts"
+    )
+
+
+def run_turn_tool_join(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str,
+    watermark: str = "120 minutes",
+    horizon_minutes: int = 5,
+) -> StreamingQuery:
+    """availableNow drain of the stream-stream interval join into a
+    memory sink (append mode — inner stream-stream joins emit exactly
+    the matched rows)."""
+    joined = turn_tool_interval_join(
+        spark, input_path, watermark, horizon_minutes
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -183,3 +183,47 @@ def test_streaming_sketch_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_input, tmp_path):
+    """The watermarked stream-stream interval join's availableNow drain
+    equals the batch join with the identical predicate over the same
+    files (the drain-vs-batch contract every streaming leg uses), the
+    join is non-trivial on the fixture, and the interval bound is real
+    (shrinking the horizon shrinks the result)."""
+    from ocr_auto_label_spark.streaming.pipeline import (
+        run_turn_tool_join,
+        turn_tool_interval_join,
+    )
+
+    q = run_turn_tool_join(
+        spark, stream_input, str(tmp_path / "ckpt_j"), "ssjoin_t"
+    )
+    q.awaitTermination(120)
+    drained = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin_t").collect()}
+
+    base = spark.read.parquet(stream_input)
+    left = base.select("conv_id", "turn_idx", "ts")
+    right = base.filter(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("tool_conv"), F.col("ts").alias("tool_ts")
+    )
+    cond = (
+        (F.col("conv_id") == F.col("tool_conv"))
+        & (F.col("tool_ts") >= F.col("ts"))
+        & (F.col("tool_ts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    want = {
+        tuple(r)
+        for r in left.join(right, cond, "inner")
+        .select("conv_id", "turn_idx", "ts", "tool_ts")
+        .collect()
+    }
+    assert drained == want
+    assert len(want) > 0
+    # the time bound binds: a zero-minute horizon keeps only ts == tool_ts
+    tight = turn_tool_interval_join(spark, stream_input, horizon_minutes=0)
+    assert tight.isStreaming
+    want_tight = {
+        t for t in want if t[2] == t[3]
+    }
+    assert len(want_tight) < len(want)
