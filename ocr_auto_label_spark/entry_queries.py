@@ -2507,10 +2507,17 @@ def _embed_ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
 
-    brute = brute_force_topk(emb, q, k=10)
-    lsh10 = lsh_bucketed_topk(emb, q, k=10, bits=4)
-    ivf10 = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
-    pq10 = pq_topk(emb, pq_train(emb, m=8, k=16), q, k=10)
+    # each top-k frame is <= 10 rows but feeds TWO union legs (its own
+    # variant + the recall semi-join), and brute feeds three — checkpoint
+    # the tiny results so every ANN plan executes exactly once per build
+    brute = brute_force_topk(emb, q, k=10).localCheckpoint(eager=True)
+    lsh10 = lsh_bucketed_topk(emb, q, k=10, bits=4).localCheckpoint(eager=True)
+    ivf10 = ivf_topk(
+        emb, q, k=10, n_centroids=16, nprobe=4
+    ).localCheckpoint(eager=True)
+    pq10 = pq_topk(
+        emb, pq_train(emb, m=8, k=16), q, k=10
+    ).localCheckpoint(eager=True)
     lsh = norm_topk(lsh10, "lsh_topk")
     ivf = norm_topk(ivf10, "ivf_topk")
     idx = norm_topk(_embed_ivf_index_probe(spark, sf_dir), "ivf_index_probe")
