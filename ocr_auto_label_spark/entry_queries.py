@@ -2411,6 +2411,13 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
     )
     a, p, e = semdedup(emb, n_centroids=16, threshold=0.3)
+    # the assignment subtree feeds three union legs (assign/pair/evict) —
+    # checkpoint the two small outputs so it runs once per build, and
+    # derive the evict leg from the CHECKPOINTED pairs (same definition
+    # as semdedup's own; the ANN-entry precedent)
+    a = a.localCheckpoint(eager=True)
+    p = p.localCheckpoint(eager=True)
+    e = p.select("sd_cluster", F.col("id_b").alias("id")).distinct()
     asg = a.select(
         F.lit("semdedup_assign").alias("variant"),
         F.col("vec_id").cast("long").alias("id_a"),
