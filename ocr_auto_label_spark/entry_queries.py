@@ -2078,6 +2078,12 @@ def _dedup_exact_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_vocab,
     )
 
+    # the per-merge-job loop, deliberately: this entry's oracle replays
+    # THAT algorithm CTE-for-CTE, and its localCheckpoint'd vocabulary
+    # frame re-reads faster in the three bpe union legs than the fast
+    # trainer's driver-local relation (measured: encode leg 0.3 → 0.97 s
+    # with the swap).  The incremental trainer is exercised by the
+    # curation job, the bench bpe block, and the pytest identity.
     bmerges, bwords = bpe_train(docs, _BPE_MERGES)
     bpe_merge = spark.createDataFrame(
         [
