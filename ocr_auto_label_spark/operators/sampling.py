@@ -150,6 +150,93 @@ def mixture_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    total: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LM data
+    recipe — XLM-R §3.1 / mT5 §3.2 sample languages with probability
+    ∝ n_g^α, α ∈ (0, 1]): low-resource groups are UPSAMPLED relative to
+    their corpus share (α = 1 reduces to proportional sampling, α → 0 to
+    uniform-across-groups).  This is sampling WITHOUT replacement, so
+    each target is additionally capped at the group's size.
+
+    Determinism contract (same as :func:`mixture_sample`): the per-group
+    counts are a BOUNDED driver pull (one row per group), the float
+    ``n^α`` shares and the integerization run in ONE place (the driver —
+    never per-executor, so libm/accumulation differences cannot split the
+    cluster's view of the targets), largest-remainder rounding makes the
+    targets sum EXACTLY to ``min(total, feasible)`` with a
+    lexicographic tie-break, and WHICH rows survive is the
+    ``(xxhash64(id), id)`` rank — stable across runs, partitionings, and
+    cluster sizes.  Scale shape: one bounded pull + one window shuffle
+    keyed by group; the target map folds into the filter as a literal
+    CASE (no second join).
+
+    Adds ``mix_rank``; returns only surviving rows.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("temperature_resample: alpha must be in (0, 1]")
+    if total <= 0:
+        raise ValueError("temperature_resample: total must be positive")
+    counts = {r[0]: int(r[1]) for r in df.groupBy(group_col).count().collect()}
+    if not counts:
+        raise ValueError("temperature_resample: empty input")
+    shares = {g: float(n) ** alpha for g, n in counts.items()}
+    remaining = float(sum(shares.values()))
+    left = total
+    targets: dict[str, int] = {}
+    # iterative largest-remainder with per-group caps: capped groups
+    # return their surplus to the pool, redistributed over uncapped
+    # groups by the same share rule until stable (≤ #groups rounds)
+    open_groups = dict(shares)
+    while left > 0 and open_groups:
+        quota = {g: left * s / remaining for g, s in open_groups.items()}
+        base = {g: min(int(quota[g]), counts[g] - targets.get(g, 0))
+                for g in open_groups}
+        rem = sorted(
+            open_groups,
+            key=lambda g: (-(quota[g] - int(quota[g])), g),
+        )
+        alloc = dict(base)
+        short = left - sum(base.values())
+        for g in rem:
+            if short <= 0:
+                break
+            room = counts[g] - targets.get(g, 0) - alloc[g]
+            if room > 0:
+                alloc[g] += 1
+                short -= 1
+        progressed = False
+        for g, k in alloc.items():
+            if k > 0:
+                targets[g] = targets.get(g, 0) + k
+                left -= k
+                progressed = True
+        open_groups = {
+            g: s for g, s in open_groups.items()
+            if counts[g] - targets.get(g, 0) > 0
+        }
+        remaining = float(sum(open_groups.values()))
+        if not progressed:
+            break
+    w = Window.partitionBy(group_col).orderBy(
+        checked_id_hash(F.col(id_col)), id_col
+    )
+    keep_expr: Column = F.lit(0).cast("long")
+    for g in sorted(targets, reverse=True):
+        keep_expr = F.when(
+            F.col(group_col) == g, F.lit(targets[g])
+        ).otherwise(keep_expr)
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= keep_expr)
+    )
+
+
 def word_ngrams(text_col: Column, n: int) -> Column:
     """Distinct lowercase word-``n``-gram array from a text column
     (whitespace tokens, space-joined grams; ``n`` validated positive —

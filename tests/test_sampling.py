@@ -216,3 +216,75 @@ def test_hash_bucket_range(spark):
         hash_bucket(F.col("doc_id"), 7).alias("b")
     ).distinct().collect()
     assert all(0 <= r.b < 7 for r in rows)
+
+
+def _skewed_groups(spark):
+    # three groups with sizes 600 / 90 / 10 — skewed enough that
+    # temperature scaling visibly reshapes the mixture
+    rows = [(i, "big" if i < 600 else ("mid" if i < 690 else "rare"))
+            for i in range(700)]
+    return spark.createDataFrame(rows, "doc_id long, grp string")
+
+
+def test_temperature_resample_invariants(spark):
+    from ocr_auto_label_spark.operators.sampling import temperature_resample
+
+    df = _skewed_groups(spark)
+    for alpha, total in ((1.0, 350), (0.5, 350), (0.3, 120), (1.0, 700)):
+        out = temperature_resample(df, "grp", alpha, total)
+        per = {r[0]: r[1] for r in out.groupBy("grp").count().collect()}
+        assert sum(per.values()) == min(total, 700), (alpha, total, per)
+        assert per.get("big", 0) <= 600 and per.get("mid", 0) <= 90
+        assert per.get("rare", 0) <= 10
+    # infeasible total caps at the corpus: everything kept exactly once
+    full = temperature_resample(df, "grp", 0.7, 10_000)
+    assert full.count() == 700
+    assert full.select("doc_id").distinct().count() == 700
+
+
+def test_temperature_resample_alpha_semantics(spark):
+    from ocr_auto_label_spark.operators.sampling import temperature_resample
+
+    df = _skewed_groups(spark)
+    # alpha = 1 is proportional sampling: each group's kept count is
+    # within one largest-remainder unit of total * n_g / n
+    prop = {r[0]: r[1] for r in temperature_resample(df, "grp", 1.0, 350)
+            .groupBy("grp").count().collect()}
+    for g, n in (("big", 600), ("mid", 90), ("rare", 10)):
+        assert abs(prop.get(g, 0) - 350 * n / 700) <= 1, (g, prop)
+    # lower temperature upsamples the rare group's SHARE, strictly
+    cool = {r[0]: r[1] for r in temperature_resample(df, "grp", 0.3, 350)
+            .groupBy("grp").count().collect()}
+    assert cool["rare"] > prop["rare"]
+    assert cool["rare"] == 10  # capped at the group's size here
+    assert cool["big"] < prop["big"]
+
+
+def test_temperature_resample_is_deterministic_and_layout_invariant(spark):
+    from ocr_auto_label_spark.operators.sampling import temperature_resample
+
+    df = _skewed_groups(spark)
+    a = {(r.doc_id, r.grp, r.mix_rank)
+         for r in temperature_resample(df, "grp", 0.5, 200).collect()}
+    b = {(r.doc_id, r.grp, r.mix_rank)
+         for r in temperature_resample(
+             df.repartition(7, "doc_id"), "grp", 0.5, 200).collect()}
+    assert a == b and len(a) == 200
+    # survivors are the (xxhash64(id), id) rank prefix per group
+    ranks = {}
+    for _, grp, rank in a:
+        ranks.setdefault(grp, []).append(rank)
+    for grp, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), grp
+
+
+def test_temperature_resample_validates(spark):
+    from ocr_auto_label_spark.operators.sampling import temperature_resample
+
+    df = _skewed_groups(spark)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", 0.0, 100)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", 1.5, 100)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "grp", 0.5, 0)
