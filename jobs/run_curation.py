@@ -73,6 +73,14 @@ def main() -> None:
                    help="train a BPE tokenizer (this many merges) on the "
                         "curated TRAIN split and write the merge table + "
                         "symbol vocab beside the corpus; 0 = off")
+    p.add_argument("--temperature-alpha", type=float, default=None,
+                   help="temperature-resample sources before the split: "
+                        "group share proportional to n^alpha, alpha in "
+                        "(0, 1] (XLM-R/mT5 mixing; needs "
+                        "--temperature-total)")
+    p.add_argument("--temperature-total", type=int, default=None,
+                   help="target corpus size for --temperature-alpha "
+                        "resampling (capped at the surviving corpus)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -104,6 +112,8 @@ def main() -> None:
             bpe_merges=args.bpe_merges,
             quality_label_lang=args.quality_label_lang,
             quality_keep_percent=args.quality_keep_percent,
+            temperature_alpha=args.temperature_alpha,
+            temperature_total=args.temperature_total,
         )
         summary["elapsed_sec"] = round(time.time() - t0, 2)
         print(json.dumps(summary))

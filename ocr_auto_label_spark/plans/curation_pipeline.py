@@ -107,6 +107,9 @@ def curate_corpus(
     bpe_merges: int = 0,
     quality_label_lang: str | None = None,
     quality_keep_percent: int | None = None,
+    temperature_alpha: float | None = None,
+    temperature_total: int | None = None,
+    source_col: str = "source",
 ) -> dict:
     """Run the full curation pipeline; returns the summary dict.
 
@@ -349,6 +352,34 @@ def curate_corpus(
             "dsir_threshold_milli": int(thr_row["val"]),
             "dsir_kept": keep_ids.count(),
         }
+    mix_stats = {}
+    if temperature_alpha is not None or temperature_total is not None:
+        # temperature-based source rebalancing (XLM-R/mT5 α-scaling):
+        # runs after the content/selection stages so the mixture is
+        # computed over what actually survives, and before the split so
+        # every split inherits the rebalanced mixture
+        if temperature_alpha is None or temperature_total is None:
+            raise ValueError(
+                "temperature resampling needs BOTH temperature_alpha "
+                "and temperature_total"
+            )
+        from ocr_auto_label_spark.operators.sampling import (
+            temperature_resample,
+        )
+
+        deduped = temperature_resample(
+            deduped, source_col, temperature_alpha, temperature_total,
+            id_col=id_col,
+        ).drop("mix_rank")
+        per = {
+            r[0]: int(r[1])
+            for r in deduped.groupBy(source_col).count().collect()
+        }
+        mix_stats = {
+            "temperature_alpha": temperature_alpha,
+            "temperature_kept": sum(per.values()),
+            "temperature_kept_by_source": dict(sorted(per.items())),
+        }
     assigned = deterministic_split(
         deduped, id_col, weights, names
     ).observe(
@@ -545,6 +576,7 @@ def curate_corpus(
         **span_stats_get(),
         **qual_stats,
         **dsir_stats,
+        **mix_stats,
         "rows_in": obs_in.get["rows"],
         "rows_quality_pass": obs_gated.get["rows"],
         "rows_after_dedup": stage1["rows"],

@@ -521,3 +521,43 @@ def test_curation_with_quality_model_selection(spark, tmp_path):
     with pytest.raises(ValueError):
         curate_corpus(spark, docs, str(tmp_path / "bad"),
                       quality_keep_percent=40, **GATES)
+
+
+def test_curation_with_temperature_resampling(spark, tmp_path):
+    """The temperature stage rebalances sources before the split: exact
+    total, per-source caps respected, split counts sum to the resampled
+    total, and the run is deterministic."""
+    from ocr_auto_label_spark.plans.curation_pipeline import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "cur_temp")
+    s1 = curate_corpus(
+        spark, docs, out, min_tokens=20, max_dup_word_frac=0.65,
+        temperature_alpha=0.5, temperature_total=200,
+    )
+    assert s1["temperature_kept"] == 200
+    assert sum(s1["temperature_kept_by_source"].values()) == 200
+    assert sum(s1["split_counts"].values()) == 200
+    # per-source kept never exceeds what survived the gates per source
+    survived = {
+        r[0]: r[1]
+        for r in spark.read.parquet(f"{out}/curated")
+        .groupBy("source").count().collect()
+    }
+    for src, k in s1["temperature_kept_by_source"].items():
+        assert survived.get(src, 0) <= k or survived[src] == k
+    s2 = curate_corpus(
+        spark, docs, str(tmp_path / "cur_temp2"), min_tokens=20,
+        max_dup_word_frac=0.65, temperature_alpha=0.5,
+        temperature_total=200,
+    )
+    assert s2["temperature_kept_by_source"] == s1["temperature_kept_by_source"]
+    assert s2["split_counts"] == s1["split_counts"]
+    # both knobs are required together
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BOTH"):
+        curate_corpus(
+            spark, docs, str(tmp_path / "cur_bad"), min_tokens=20,
+            temperature_alpha=0.5,
+        )
